@@ -1,0 +1,26 @@
+"""emcee_tpu: a TPU-native ensemble MCMC framework.
+
+A from-scratch JAX/XLA re-design with the capabilities of dfm/emcee (the
+Goodman & Weare affine-invariant ensemble sampler family), built for TPU:
+fused jitted chain steps, walker sharding over device meshes with ICI
+collectives, Pallas inner-loop kernels, and asynchronous host chain
+streaming.  Public surface mirrors the reference
+(``/root/reference/src/emcee/__init__.py:22-36``).
+"""
+
+from . import autocorr, backends, moves
+from .ops.autocorr import AutocorrError
+from .sampler import EnsembleSampler
+from .state import State, walkers_independent
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EnsembleSampler",
+    "State",
+    "walkers_independent",
+    "moves",
+    "autocorr",
+    "backends",
+    "__version__",
+]

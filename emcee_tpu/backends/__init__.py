@@ -1,0 +1,18 @@
+"""Chain storage backends (reference ``/root/reference/src/emcee/backends/``)."""
+
+from .backend import Backend
+from .hdf import HDFBackend, TempHDFBackend
+
+__all__ = ["Backend", "HDFBackend", "TempHDFBackend", "get_test_backends"]
+
+
+def get_test_backends():
+    """Backends to parametrize tests over (reference ``backends/__init__.py``)."""
+    backends = [Backend]
+    try:
+        import h5py  # noqa: F401
+
+        backends.append(TempHDFBackend)
+    except ImportError:
+        pass
+    return backends

@@ -1,0 +1,29 @@
+"""Proposal moves.
+
+Public surface mirrors the reference (``/root/reference/src/emcee/moves/
+__init__.py:3-11``): ``Move``, ``RedBlueMove``, ``MHMove`` bases and the
+concrete ``StretchMove``, ``WalkMove``, ``DEMove``, ``DESnookerMove``,
+``KDEMove``, ``GaussianMove``.
+"""
+
+from .base import Move
+from .de import DEMove
+from .de_snooker import DESnookerMove
+from .gaussian import GaussianMove
+from .kde import KDEMove
+from .mh import MHMove
+from .red_blue import RedBlueMove
+from .stretch import StretchMove
+from .walk import WalkMove
+
+__all__ = [
+    "Move",
+    "MHMove",
+    "GaussianMove",
+    "RedBlueMove",
+    "StretchMove",
+    "WalkMove",
+    "KDEMove",
+    "DEMove",
+    "DESnookerMove",
+]

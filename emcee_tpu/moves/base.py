@@ -1,0 +1,68 @@
+"""Move protocol.
+
+The reference's ``Move`` (``/root/reference/src/emcee/moves/move.py:8-45``)
+mutates state arrays in place with boolean-mask assignment and keeps tuning
+state on ``self``.  Under jit neither is possible, so the TPU-native protocol
+is purely functional:
+
+* ``propose(key, state, model, carry) -> (state, accepted, carry)`` — a
+  traceable pure function.  ``accepted`` is a ``(nwalkers_local,)`` bool.
+* per-move mutable state (e.g. the ``sequential`` dim counter of
+  ``GaussianMove``, reference ``gaussian.py:99-101``) lives in ``carry``, a
+  small pytree created by ``init_carry`` and threaded through the scan.
+* ``tune(carry, state, accepted) -> carry`` — optional adaptation hook
+  (reference ``move.py:9-10``), also pure.
+
+Masked acceptance-update is branch-free ``jnp.where`` select instead of the
+reference's fancy-indexed scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Move", "accept_update", "tree_where"]
+
+
+def tree_where(mask: jax.Array, new: Any, old: Any) -> Any:
+    """Per-walker select over a blob pytree; mask has shape (nwalkers,)."""
+    if old is None:
+        return new
+
+    def sel(n, o):
+        m = mask.reshape((-1,) + (1,) * (n.ndim - 1))
+        return jnp.where(m, n, o)
+
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+def accept_update(state, q, new_log_prob, new_blobs, accepted):
+    """Branch-free ensemble update: keep proposals where accepted.
+
+    Equivalent of ``Move.update`` (reference ``move.py:12-45``) for the
+    whole-ensemble (no subset) case.
+    """
+    coords = jnp.where(accepted[:, None], q, state.coords)
+    log_prob = jnp.where(accepted, new_log_prob, state.log_prob)
+    blobs = state.blobs
+    if new_blobs is not None:
+        blobs = tree_where(accepted, new_blobs, state.blobs)
+    return state._replace(coords=coords, log_prob=log_prob, blobs=blobs)
+
+
+class Move:
+    """Base class; concrete moves implement :meth:`propose`."""
+
+    def init_carry(self, nwalkers: int, ndim: int) -> Any:
+        """Per-move scan-carried state (default: none)."""
+        return ()
+
+    def propose(self, key, state, model, carry) -> Tuple[Any, jax.Array, Any]:
+        raise NotImplementedError
+
+    def tune(self, carry, state, accepted) -> Any:
+        """Adaptation hook; default no-op (reference ``move.py:9-10``)."""
+        return carry

@@ -1,0 +1,118 @@
+"""Integrated autocorrelation time estimation.
+
+Same estimator as the reference (``/root/reference/src/emcee/autocorr.py``):
+FFT-based normalized ACF per (walker, dim) series, walker-averaged, then
+Sokal's automated windowing ``tau = taus[argmin(arange < c * taus)]`` with a
+``tol * tau > n`` convergence check.  Differences:
+
+* the per-dim / per-walker Python loops (``autocorr.py:99-103``) are one
+  batched ``jnp.fft`` over the full ``(steps, walkers, dims)`` block — on
+  TPU this runs on-device and feeds the built-in convergence monitor;
+* windows are selected vectorized over dims.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["function_1d", "integrated_time", "AutocorrError"]
+
+logger = logging.getLogger(__name__)
+
+
+class AutocorrError(Exception):
+    """Raised when the chain is too short for a reliable tau estimate.
+
+    The current estimate is available as the ``tau`` attribute (same
+    contract as the reference, ``autocorr.py:126-136``).
+    """
+
+    def __init__(self, tau, *args, **kwargs):
+        self.tau = tau
+        super().__init__(*args, **kwargs)
+
+
+def next_pow_two(n: int) -> int:
+    i = 1
+    while i < n:
+        i <<= 1
+    return i
+
+
+def _acf_batched(x):
+    """Normalized autocorrelation functions along axis 0.
+
+    x: (n, ...) real array -> (n, ...) ACFs, each normalized to acf[0]=1.
+    """
+    n = x.shape[0]
+    m = next_pow_two(n)
+    xc = x - jnp.mean(x, axis=0, keepdims=True)
+    f = jnp.fft.rfft(xc, n=2 * m, axis=0)
+    acf = jnp.fft.irfft(f * jnp.conj(f), n=2 * m, axis=0)[:n]
+    return acf / acf[:1]
+
+
+def function_1d(x):
+    """Normalized ACF of a 1-D series (reference ``autocorr.py:20-39``)."""
+    x = jnp.atleast_1d(jnp.asarray(x))
+    if x.ndim != 1:
+        raise ValueError("invalid dimensions for 1D autocorrelation function")
+    return np.asarray(_acf_batched(x))
+
+
+def _tau_estimates(x, c):
+    """Device-side core: (n_t, n_w, n_d) -> per-dim tau and window index."""
+    acf = _acf_batched(x)  # (n_t, n_w, n_d)
+    f = jnp.mean(acf, axis=1)  # (n_t, n_d)
+    taus = 2.0 * jnp.cumsum(f, axis=0) - 1.0
+    n_t = x.shape[0]
+    steps = jnp.arange(n_t, dtype=taus.dtype)[:, None]
+    mask = steps < c * taus
+    # auto_window: first index where the mask fails, else n_t - 1.
+    windows = jnp.where(
+        jnp.any(mask, axis=0), jnp.argmin(mask, axis=0), n_t - 1
+    )
+    tau_est = jnp.take_along_axis(taus, windows[None, :], axis=0)[0]
+    return tau_est, windows
+
+
+_tau_estimates_jit = jax.jit(_tau_estimates, static_argnums=(1,))
+
+
+def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True):
+    """Estimate the integrated autocorrelation time.
+
+    Accepts ``(n_step,)``, ``(n_step, n_walker)`` (or ``(n_step, n_param)``
+    with ``has_walkers=False``), or ``(n_step, n_walker, n_param)`` arrays;
+    same semantics, tolerances, and error behavior as the reference
+    (``autocorr.py:49-123``).
+    """
+    x = jnp.atleast_1d(jnp.asarray(x))
+    if x.ndim == 1:
+        x = x[:, None, None]
+    elif x.ndim == 2:
+        x = x[:, None, :] if not has_walkers else x[:, :, None]
+    if x.ndim != 3:
+        raise ValueError("invalid dimensions")
+
+    n_t = x.shape[0]
+    tau_est, _ = _tau_estimates_jit(x, float(c))
+    tau_est = np.asarray(tau_est, dtype=np.float64)
+
+    flag = tol * tau_est > n_t
+    if np.any(flag):
+        msg = (
+            "The chain is shorter than {0} times the integrated "
+            "autocorrelation time for {1} parameter(s). Use this estimate "
+            "with caution and run a longer chain!\n"
+        ).format(tol, np.sum(flag))
+        msg += "N/{0} = {1:.0f};\ntau: {2}".format(tol, n_t / tol, tau_est)
+        if not quiet:
+            raise AutocorrError(tau_est, msg)
+        logger.warning(msg)
+
+    return tau_est

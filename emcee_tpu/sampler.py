@@ -1,0 +1,582 @@
+"""The ensemble sampler driver.
+
+TPU-native counterpart of the reference ``EnsembleSampler``
+(``/root/reference/src/emcee/ensemble.py:32-713``).  The user-facing surface
+is kept deliberately close (constructor arguments, ``run_mcmc`` /
+``sample`` generator, ``get_chain`` family, ``acceptance_fraction``,
+backend resume), but the execution model is redesigned for XLA:
+
+* the per-iteration Python loop (``ensemble.py:403-424``) becomes a
+  ``jax.lax.scan`` over fused move steps, jit-compiled once per
+  (chunk-shape, flags) combination;
+* move selection from a weighted mixture (``ensemble.py:406``) happens
+  inside the scan via ``jax.lax.switch`` on a key-derived categorical draw;
+* the MT19937 ``RandomState`` is replaced by a threefry key carried in the
+  state pytree;
+* chain storage crosses the device->host boundary once per *chunk* (async
+  device_get overlapped with the next chunk's compute) instead of once per
+  step (``backend.save_step``, ``ensemble.py:417``);
+* with a ``jax.sharding.Mesh``, the whole scan runs under ``shard_map`` with
+  walkers sharded over the mesh axis; red-blue moves all-gather the
+  complementary half over ICI, and everything else stays shard-local.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import moves as _moves_mod
+from .backends import Backend
+from .model import Model, wrap_log_prob_fn
+from .ops import autocorr
+from .pbar import get_progress_bar
+from .state import State, as_state, walkers_independent
+
+__all__ = ["EnsembleSampler"]
+
+
+class _BlobStruct:
+    """Hashable token describing a blob pytree (for the jit cache) that also
+    carries an example tree for building PartitionSpec trees."""
+
+    def __init__(self, treedef, shapes, example):
+        self.treedef = treedef
+        self.shapes = shapes
+        self.example = example
+
+    def __hash__(self):
+        return hash((self.treedef, self.shapes))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, _BlobStruct)
+            and self.treedef == other.treedef
+            and self.shapes == other.shapes
+        )
+
+
+class EnsembleSampler:
+    """An ensemble MCMC sampler for TPU.
+
+    Args:
+        nwalkers: number of walkers (global, across all devices).
+        ndim: parameter-space dimensionality.
+        log_prob_fn: log posterior density.  With ``vectorize=False``
+            (default, matching the reference) it maps one ``(ndim,)`` vector
+            and is lifted with ``jax.vmap``; with ``vectorize=True`` it maps
+            the whole ``(nwalkers, ndim)`` batch.  May return
+            ``(log_prob, *blobs)`` tuples; blob structure must be static.
+        moves: a move, list of moves, or weighted ``[(move, weight), ...]``
+            list (reference ``ensemble.py:115-129``).
+        args, kwargs: extra arguments closed over into ``log_prob_fn``.
+        backend: a chain store; defaults to the in-memory :class:`Backend`.
+        vectorize: see ``log_prob_fn``.
+        blobs_dtype: optional numpy dtype (or list of (name, dtype)) applied
+            when fetching blobs.
+        parameter_names: list of names or dict name -> index/indices; the
+            log-prob then receives a dict (reference ``ensemble.py:174-214``).
+        seed: int seed or JAX PRNG key for the sampler's own stream
+            (used when an initial state carries no key).
+        mesh: optional ``jax.sharding.Mesh`` to shard walkers over.
+        walker_axis: mesh axis name holding the walker shards.
+        host_callback: wrap a non-traceable ``log_prob_fn`` with
+            ``jax.pure_callback`` (no blobs on this path).
+        pool: accepted for API compatibility and ignored — parallelism is
+            expressed through ``mesh``, not process pools.
+    """
+
+    def __init__(
+        self,
+        nwalkers,
+        ndim,
+        log_prob_fn,
+        pool=None,
+        moves=None,
+        args=None,
+        kwargs=None,
+        backend=None,
+        vectorize=False,
+        blobs_dtype=None,
+        parameter_names=None,
+        seed=0,
+        mesh: Optional[Mesh] = None,
+        walker_axis: str = "walkers",
+        host_callback: bool = False,
+        io_chunk_bytes: int = 1 << 27,
+    ):
+        self.nwalkers = int(nwalkers)
+        self.ndim = int(ndim)
+        if pool is not None:
+            warnings.warn(
+                "'pool' is ignored: evaluation is batched on device; use "
+                "'mesh' to scale over chips",
+                stacklevel=2,
+            )
+
+        # Parse the move schedule (reference ensemble.py:115-129).
+        if moves is None:
+            self._moves = [_moves_mod.StretchMove()]
+            self._weights = np.array([1.0])
+        elif isinstance(moves, _moves_mod.Move) or hasattr(moves, "propose"):
+            self._moves = [moves]
+            self._weights = np.array([1.0])
+        else:
+            moves = list(moves)
+            if all(hasattr(m, "__len__") and len(m) == 2 for m in moves):
+                self._moves, w = map(list, zip(*moves))
+                self._weights = np.asarray(w, dtype=float)
+            else:
+                self._moves = moves
+                self._weights = np.ones(len(moves))
+        if np.any(self._weights < 0):
+            raise ValueError("Move weights must be non-negative")
+        if np.sum(self._weights) == 0:
+            raise ValueError("At least one move must have a positive weight")
+        self._weights = self._weights / np.sum(self._weights)
+
+        self.backend = Backend() if backend is None else backend
+        self.blobs_dtype = blobs_dtype
+
+        self.mesh = mesh
+        self.walker_axis = walker_axis
+        self._axis_name = walker_axis if mesh is not None else None
+        if mesh is not None:
+            n_shards = mesh.shape[walker_axis]
+            if self.nwalkers % n_shards != 0:
+                raise ValueError(
+                    f"nwalkers ({self.nwalkers}) must be divisible by the "
+                    f"mesh '{walker_axis}' axis size ({n_shards})"
+                )
+
+        if isinstance(seed, (int, np.integer)):
+            self._key = jax.random.key(seed)
+        else:
+            self._key = seed
+
+        self._io_chunk_bytes = int(io_chunk_bytes)
+
+        # Canonical batched log-prob.
+        self.log_prob_fn = log_prob_fn
+        self._compute_log_prob = wrap_log_prob_fn(
+            log_prob_fn,
+            args=args,
+            kwargs=kwargs,
+            vectorize=vectorize,
+            parameter_names=parameter_names,
+            host_callback=host_callback,
+        )
+        self._model = Model(
+            compute_log_prob=self._compute_log_prob,
+            axis_name=self._axis_name,
+            nwalkers=self.nwalkers,
+        )
+
+        # Resume from a non-empty backend (reference ensemble.py:139-162).
+        self._previous_state = None
+        if self.backend.initialized:
+            state_shape = self.backend.shape
+            if state_shape != (self.nwalkers, self.ndim):
+                raise ValueError(
+                    "the shape of the backend is incompatible with the "
+                    f"shape of the sampler; expected "
+                    f"{(self.nwalkers, self.ndim)}, got {state_shape}"
+                )
+            if self.backend.iteration > 0:
+                self._previous_state = self.backend.get_last_sample()
+        else:
+            self.backend.reset(self.nwalkers, self.ndim)
+
+        self._run_chunk_cache = {}
+
+    # ------------------------------------------------------------------
+    # Introspection properties (reference ensemble.py:555-623)
+    # ------------------------------------------------------------------
+    @property
+    def iteration(self):
+        return self.backend.iteration
+
+    @property
+    def acceptance_fraction(self):
+        """Per-walker fraction of accepted saved-step proposals."""
+        return self.backend.accepted / float(self.backend.iteration)
+
+    def get_chain(self, **kwargs):
+        return self.get_value("chain", **kwargs)
+
+    def get_log_prob(self, **kwargs):
+        return self.get_value("log_prob", **kwargs)
+
+    def get_blobs(self, **kwargs):
+        return self.get_value("blobs", **kwargs)
+
+    def get_value(self, name, **kwargs):
+        return self.backend.get_value(name, **kwargs)
+
+    def get_last_sample(self):
+        return self.backend.get_last_sample()
+
+    def get_autocorr_time(self, **kwargs):
+        return self.backend.get_autocorr_time(**kwargs)
+
+    def reset(self):
+        """Clear the backend chain (reference ensemble.py:244-249)."""
+        self.backend.reset(self.nwalkers, self.ndim)
+        self._previous_state = None
+
+    def compute_log_prob(self, coords):
+        """Evaluate the batched log-prob with host-side NaN/inf guards.
+
+        Mirrors the eager checks of the reference (``ensemble.py:458-551``);
+        inside the jitted chain step NaN log-probs are simply rejected by
+        the Metropolis compare instead.
+        """
+        p = jnp.asarray(coords)
+        if jnp.any(jnp.isinf(p)):
+            raise ValueError(
+                "At least one parameter value was infinite"
+            )
+        if jnp.any(jnp.isnan(p)):
+            raise ValueError("At least one parameter value was NaN")
+        log_prob, blobs = jax.jit(self._compute_log_prob)(p)
+        if np.any(np.isnan(np.asarray(log_prob))):
+            raise ValueError("Probability function returned NaN")
+        return log_prob, blobs
+
+    # ------------------------------------------------------------------
+    # Step construction
+    # ------------------------------------------------------------------
+    def _init_carries(self):
+        return tuple(
+            m.init_carry(self.nwalkers, self.ndim) for m in self._moves
+        )
+
+    def _make_step(self, tune):
+        """One proposal: select a move, propose, (optionally) tune."""
+        moves = self._moves
+        model = self._model
+        n_moves = len(moves)
+        weights = jnp.asarray(self._weights)
+
+        def step(state, carries):
+            key, k_move, k_prop = jax.random.split(state.random_state, 3)
+            state = state._replace(random_state=key)
+            if n_moves == 1:
+                new_state, accepted, c = moves[0].propose(
+                    k_prop, state, model, carries[0]
+                )
+                if tune:
+                    c = moves[0].tune(c, new_state, accepted)
+                return new_state, accepted, (c,)
+
+            idx = jax.random.choice(k_move, n_moves, p=weights)
+
+            def make_branch(i):
+                def branch(operand):
+                    k, st, cs = operand
+                    ns, acc, c = moves[i].propose(k, st, model, cs[i])
+                    if tune:
+                        c = moves[i].tune(c, ns, acc)
+                    cs = cs[:i] + (c,) + cs[i + 1 :]
+                    return ns, acc, cs
+
+                return branch
+
+            return jax.lax.switch(
+                idx,
+                [make_branch(i) for i in range(n_moves)],
+                (k_prop, state, carries),
+            )
+
+        return step
+
+    def _blob_partition_tree(self, blobs, spec):
+        if blobs is None:
+            return None
+        if isinstance(blobs, _BlobStruct):
+            blobs = blobs.example
+        return jax.tree_util.tree_map(lambda _: spec, blobs)
+
+    def _get_run_chunk(self, nkeep, thin_by, store, tune, blobs_struct):
+        """Build (and cache) the jitted chunk runner.
+
+        The runner advances ``nkeep * thin_by`` proposals via nested scans,
+        emitting the state after every ``thin_by``-th proposal (reference
+        thinning semantics, ``ensemble.py:377-386,403-424``) along with that
+        proposal's acceptance vector (the reference saves exactly the last
+        proposal's ``accepted`` per kept step, ``ensemble.py:409-417``).
+        """
+        cache_key = (nkeep, thin_by, store, tune, blobs_struct)
+        fn = self._run_chunk_cache.get(cache_key)
+        if fn is not None:
+            return fn
+
+        step = self._make_step(tune)
+
+        def inner(carry, _):
+            state, carries = carry
+            state, accepted, carries = step(state, carries)
+            return (state, carries), None
+
+        def kept_step(carry, _):
+            if thin_by > 1:
+                carry, _ = jax.lax.scan(
+                    inner, carry, None, length=thin_by - 1
+                )
+            state, carries = carry
+            state, accepted, carries = step(state, carries)
+            if store:
+                out = (state.coords, state.log_prob, state.blobs, accepted)
+            else:
+                out = accepted
+            return (state, carries), out
+
+        def chunk(state, carries):
+            (state, carries), outs = jax.lax.scan(
+                kept_step, (state, carries), None, length=nkeep
+            )
+            return state, carries, outs
+
+        if self.mesh is not None:
+            ax = self.walker_axis
+            pw = P(ax)
+            pr = P()
+            state_spec = State(
+                coords=P(ax, None),
+                log_prob=pw,
+                random_state=pr,
+                blobs=self._blob_partition_tree(blobs_struct, pw),
+            )
+            carries_spec = jax.tree_util.tree_map(
+                lambda _: pr, self._init_carries()
+            )
+            if store:
+                out_spec = (
+                    P(None, ax, None),
+                    P(None, ax),
+                    self._blob_partition_tree(blobs_struct, P(None, ax)),
+                    P(None, ax),
+                )
+            else:
+                out_spec = P(None, ax)
+            chunk = _shard_map(
+                chunk,
+                mesh=self.mesh,
+                in_specs=(state_spec, carries_spec),
+                out_specs=(state_spec, carries_spec, out_spec),
+                check_vma=False,
+            )
+
+        fn = jax.jit(chunk)
+        self._run_chunk_cache[cache_key] = fn
+        return fn
+
+    def _device_put_state(self, state):
+        if self.mesh is None:
+            return state
+        ax = self.walker_axis
+        shardings = State(
+            coords=NamedSharding(self.mesh, P(ax, None)),
+            log_prob=NamedSharding(self.mesh, P(ax)),
+            random_state=NamedSharding(self.mesh, P()),
+            blobs=self._blob_partition_tree(
+                state.blobs, NamedSharding(self.mesh, P(ax))
+            ),
+        )
+        return jax.tree_util.tree_map(
+            jax.device_put,
+            state,
+            shardings,
+            is_leaf=lambda x: x is None,
+        )
+
+    # ------------------------------------------------------------------
+    # Sampling
+    # ------------------------------------------------------------------
+    def _prepare_state(self, initial_state, skip_initial_state_check):
+        state = as_state(initial_state)
+        if state.coords.shape != (self.nwalkers, self.ndim):
+            raise ValueError(
+                f"incompatible input dimensions {state.coords.shape}"
+            )
+        if not skip_initial_state_check and not walkers_independent(
+            state.coords
+        ):
+            raise ValueError(
+                "Initial state has a large condition number. "
+                "Make sure that your walkers are linearly independent for "
+                "the best performance"
+            )
+        if state.random_state is None:
+            self._key, sub = jax.random.split(self._key)
+            state = state._replace(random_state=sub)
+        if state.log_prob is None:
+            log_prob, blobs = self.compute_log_prob(state.coords)
+            state = state._replace(log_prob=log_prob, blobs=blobs)
+        else:
+            if np.shape(state.log_prob) != (self.nwalkers,):
+                raise ValueError("incompatible input dimensions")
+            if np.any(np.isnan(np.asarray(state.log_prob))):
+                raise ValueError("The initial log_prob was NaN")
+            if state.blobs is None:
+                # Blob structure must exist up front under jit; probe it.
+                _, blobs_struct = jax.eval_shape(
+                    self._compute_log_prob, state.coords
+                )
+                if blobs_struct is not None:
+                    log_prob, blobs = self.compute_log_prob(state.coords)
+                    state = state._replace(log_prob=log_prob, blobs=blobs)
+        return self._device_put_state(state)
+
+    def _blobs_struct(self, state):
+        if state.blobs is None:
+            return None
+        # Hashable structural token for the jit cache; also used to build
+        # PartitionSpec trees (tree structure only matters there).
+        leaves, treedef = jax.tree_util.tree_flatten(state.blobs)
+        shapes = tuple(
+            (tuple(leaf.shape), jnp.asarray(leaf).dtype.name)
+            for leaf in leaves
+        )
+        return _BlobStruct(treedef, shapes, state.blobs)
+
+    def _auto_chunk(self, state, thin_by):
+        """Kept-steps per device dispatch, bounded by io_chunk_bytes."""
+        bytes_per_step = state.coords.size * state.coords.dtype.itemsize
+        bytes_per_step += state.log_prob.size * state.log_prob.dtype.itemsize
+        bytes_per_step += state.nwalkers * 4
+        if state.blobs is not None:
+            for leaf in jax.tree_util.tree_leaves(state.blobs):
+                bytes_per_step += leaf.size * leaf.dtype.itemsize
+        n = max(1, self._io_chunk_bytes // max(1, bytes_per_step))
+        # Keep the scan length sane: very long scans inflate compile time
+        # for no throughput benefit once dispatch overhead is amortized.
+        return int(min(n, 1024))
+
+    def sample(
+        self,
+        initial_state,
+        iterations=1,
+        tune=False,
+        skip_initial_state_check=False,
+        thin_by=1,
+        store=True,
+        progress=False,
+        progress_kwargs=None,
+    ):
+        """Advance the chain as a generator, yielding every ``thin_by``.
+
+        Matches the reference generator semantics (``ensemble.py:258-424``)
+        including ``iterations=None`` infinite streaming (requires
+        ``store=False``).
+        """
+        if iterations is None and store:
+            raise ValueError("'store' must be False when 'iterations' is None")
+        thin_by = int(thin_by)
+        if thin_by <= 0:
+            raise ValueError("Invalid thinning argument")
+
+        state = self._prepare_state(initial_state, skip_initial_state_check)
+        carries = self._init_carries()
+        blobs_struct = self._blobs_struct(state)
+
+        if store:
+            self.backend.grow(iterations, state.blobs)
+
+        run1 = self._get_run_chunk(1, thin_by, store, tune, blobs_struct)
+
+        total = None if iterations is None else iterations * thin_by
+        with get_progress_bar(progress, total, **(progress_kwargs or {})) as pbar:
+            i = 0
+            while iterations is None or i < iterations:
+                state, carries, out = run1(state, carries)
+                if store:
+                    coords, log_prob, blobs, accepted = jax.device_get(out)
+                    self.backend.save_chunk(
+                        coords,
+                        log_prob,
+                        blobs,
+                        accepted,
+                        state.random_state,
+                    )
+                pbar.update(thin_by)
+                i += 1
+                self._previous_state = state
+                yield state
+
+    def run_mcmc(self, initial_state, nsteps, **kwargs):
+        """Run ``nsteps`` kept steps and return the final :class:`State`.
+
+        Accepts ``initial_state=None`` to continue from the previous run
+        (reference ``ensemble.py:441-447``).  Unlike the reference this does
+        not iterate a Python generator step-by-step: the chain advances in
+        jitted multi-step chunks with chain storage overlapped.
+        """
+        if initial_state is None:
+            if self._previous_state is None:
+                raise ValueError(
+                    "Cannot have `initial_state=None` if run_mcmc has never "
+                    "been called."
+                )
+            initial_state = self._previous_state
+
+        tune = kwargs.pop("tune", False)
+        thin_by = int(kwargs.pop("thin_by", 1))
+        store = kwargs.pop("store", True)
+        progress = kwargs.pop("progress", False)
+        progress_kwargs = kwargs.pop("progress_kwargs", None) or {}
+        skip_check = kwargs.pop("skip_initial_state_check", False)
+        if kwargs:
+            raise TypeError(f"unexpected keyword arguments: {list(kwargs)}")
+        if thin_by <= 0:
+            raise ValueError("Invalid thinning argument")
+        nsteps = int(nsteps)
+
+        state = self._prepare_state(initial_state, skip_check)
+        carries = self._init_carries()
+        blobs_struct = self._blobs_struct(state)
+
+        if store:
+            self.backend.grow(nsteps, state.blobs)
+
+        chunk_steps = self._auto_chunk(state, thin_by)
+        total = nsteps * thin_by
+        with get_progress_bar(progress, total, **progress_kwargs) as pbar:
+            done = 0
+            pending = None  # overlap: fetch chunk k while k+1 computes
+            while done < nsteps:
+                n = min(chunk_steps, nsteps - done)
+                run = self._get_run_chunk(
+                    n, thin_by, store, tune, blobs_struct
+                )
+                state, carries, out = run(state, carries)
+                if store:
+                    if pending is not None:
+                        self._save_chunk(*pending)
+                    pending = (out, state.random_state)
+                done += n
+                pbar.update(n * thin_by)
+            if store and pending is not None:
+                self._save_chunk(*pending)
+
+        # Block so failures surface here, then remember the state.
+        jax.block_until_ready(state.coords)
+        self._previous_state = state
+        return state
+
+    def _save_chunk(self, out, key):
+        coords, log_prob, blobs, accepted = jax.device_get(out)
+        self.backend.save_chunk(coords, log_prob, blobs, accepted, key)
