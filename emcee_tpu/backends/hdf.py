@@ -175,8 +175,9 @@ class HDFBackend(Backend):
                 leaves, treedef = jax.tree_util.tree_flatten(
                     jax.tree_util.tree_map(np.asarray, blobs)
                 )
-                single = treedef.num_leaves == 1 and isinstance(
-                    blobs, np.ndarray
+                single = (
+                    treedef.num_leaves == 1
+                    and jax.tree_util.treedef_is_leaf(treedef)
                 )
                 if not g.attrs["has_blobs"]:
                     g.attrs["has_blobs"] = True

@@ -54,6 +54,13 @@ def _named_params_adapter(
     vector.
     """
 
+    import numpy as np
+
+    key_map = {
+        key: (np.asarray(val) if isinstance(val, (list, tuple)) else val)
+        for key, val in key_map.items()
+    }
+
     def wrapped(x, *args, **kwargs):
         params = {key: x[val] for key, val in key_map.items()}
         return fn(params, *args, **kwargs)

@@ -63,7 +63,7 @@ class WalkMove(RedBlueMove):
             inds = jax.random.choice(k_sub, nc, (s0,), replace=False)
             cov = _cov(c[inds])
             return jax.random.multivariate_normal(
-                k_draw, si, cov, method="eigh", dtype=s.dtype
+                k_draw, si, cov, method="svd", dtype=s.dtype
             )
 
         keys = jax.random.split(key, ns)

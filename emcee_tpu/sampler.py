@@ -466,6 +466,24 @@ class EnsembleSampler:
         # for no throughput benefit once dispatch overhead is amortized.
         return int(min(n, 1024))
 
+    @staticmethod
+    def _chunk_schedule(nsteps, max_chunk):
+        """Split nsteps into chunk sizes, minimizing distinct scan lengths.
+
+        A ragged final chunk costs a second XLA compile; prefer an equal
+        divisor of ``nsteps`` when one exists reasonably close to the
+        memory-derived ``max_chunk``.
+        """
+        if nsteps <= max_chunk:
+            return [nsteps]
+        for d in range(max_chunk, max(1, max_chunk // 2), -1):
+            if nsteps % d == 0:
+                return [d] * (nsteps // d)
+        sizes = [max_chunk] * (nsteps // max_chunk)
+        if nsteps % max_chunk:
+            sizes.append(nsteps % max_chunk)
+        return sizes
+
     def sample(
         self,
         initial_state,
@@ -552,13 +570,13 @@ class EnsembleSampler:
         if store:
             self.backend.grow(nsteps, state.blobs)
 
-        chunk_steps = self._auto_chunk(state, thin_by)
+        schedule = self._chunk_schedule(
+            nsteps, self._auto_chunk(state, thin_by)
+        )
         total = nsteps * thin_by
         with get_progress_bar(progress, total, **progress_kwargs) as pbar:
-            done = 0
             pending = None  # overlap: fetch chunk k while k+1 computes
-            while done < nsteps:
-                n = min(chunk_steps, nsteps - done)
+            for n in schedule:
                 run = self._get_run_chunk(
                     n, thin_by, store, tune, blobs_struct
                 )
@@ -567,7 +585,6 @@ class EnsembleSampler:
                     if pending is not None:
                         self._save_chunk(*pending)
                     pending = (out, state.random_state)
-                done += n
                 pbar.update(n * thin_by)
             if store and pending is not None:
                 self._save_chunk(*pending)

@@ -1,0 +1,31 @@
+"""Weighted move-mixture integration test.
+
+The reference exercises mixtures through the moves tutorial (DE 0.8 +
+Snooker 0.2, ``docs/tutorials/moves.ipynb``); here the same mixture must
+sample a unit normal correctly through the ``lax.switch`` dispatch path.
+"""
+
+from emcee_tpu import moves
+
+from .test_proposal import _test_normal
+
+
+def test_de_snooker_mixture():
+    _test_normal(
+        [
+            (moves.DEMove(), 0.8),
+            (moves.DESnookerMove(), 0.2),
+        ],
+        ndim=3,
+        nsteps=3000,
+    )
+
+
+def test_stretch_gaussian_mixture():
+    _test_normal(
+        [
+            (moves.StretchMove(), 0.5),
+            (moves.GaussianMove(0.5), 0.5),
+        ],
+        nsteps=3000,
+    )

@@ -1,0 +1,160 @@
+"""Backend equivalence and persistence tests (reference ``test_backends.py``)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emcee_tpu import EnsembleSampler, State, backends
+
+
+def normal_log_prob(params):
+    return -0.5 * jnp.sum(params**2)
+
+
+def normal_log_prob_blobs(params):
+    return -0.5 * jnp.sum(params**2), params
+
+
+def _run(backend, nsteps=20, seed=1234, blobs=False, thin_by=1):
+    nwalkers, ndim = 16, 3
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(seed), (nwalkers, ndim))
+    )
+    lp = normal_log_prob_blobs if blobs else normal_log_prob
+    sampler = EnsembleSampler(
+        nwalkers, ndim, lp, backend=backend, seed=seed
+    )
+    sampler.run_mcmc(
+        State(jnp.asarray(coords), random_state=jax.random.key(seed + 1)),
+        nsteps,
+        thin_by=thin_by,
+    )
+    return sampler
+
+
+def test_memory_vs_hdf_equivalence():
+    """Identical seeded runs must store identical values in both backends."""
+    mem = backends.Backend()
+    s1 = _run(mem)
+    with backends.TempHDFBackend() as hdf:
+        s2 = _run(hdf)
+        np.testing.assert_allclose(
+            s1.get_chain(), s2.get_chain(), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            s1.get_log_prob(), s2.get_log_prob(), rtol=1e-12
+        )
+        np.testing.assert_array_equal(
+            s1.backend.accepted, s2.backend.accepted
+        )
+        assert s1.iteration == s2.iteration
+
+
+def test_hdf_reload_roundtrip():
+    """A re-opened HDF file restores chain, iteration, and RNG key."""
+    with backends.TempHDFBackend() as hdf:
+        s1 = _run(hdf)
+        chain1 = s1.get_chain()
+        last1 = s1.get_last_sample()
+
+        reopened = backends.HDFBackend(hdf.filename, hdf.name)
+        assert reopened.initialized
+        assert reopened.iteration == 20
+        np.testing.assert_allclose(np.asarray(reopened.get_chain()), chain1)
+        last2 = reopened.get_last_sample()
+        np.testing.assert_allclose(
+            np.asarray(last2.coords), np.asarray(last1.coords)
+        )
+        np.testing.assert_array_equal(
+            jax.random.key_data(last2.random_state),
+            jax.random.key_data(last1.random_state),
+        )
+
+
+def test_hdf_restart_continuation_matches_memory():
+    """Resuming from a reloaded HDF backend == uninterrupted run."""
+    nwalkers, ndim = 16, 3
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(0), (nwalkers, ndim))
+    )
+    start = State(jnp.asarray(coords), random_state=jax.random.key(99))
+
+    s_full = EnsembleSampler(
+        nwalkers, ndim, normal_log_prob, backend=backends.Backend(), seed=7
+    )
+    s_full.run_mcmc(start, 20)
+
+    with backends.TempHDFBackend() as hdf:
+        s_a = EnsembleSampler(
+            nwalkers, ndim, normal_log_prob, backend=hdf, seed=7
+        )
+        s_a.run_mcmc(start, 10)
+
+        # New sampler over the same file: auto-resumes.
+        reopened = backends.HDFBackend(hdf.filename, hdf.name)
+        s_b = EnsembleSampler(
+            nwalkers, ndim, normal_log_prob, backend=reopened, seed=7
+        )
+        s_b.run_mcmc(None, 10)
+        np.testing.assert_allclose(
+            s_full.get_chain(),
+            np.asarray(s_b.get_chain()),
+            rtol=1e-10,
+        )
+
+
+def test_hdf_multiple_named_groups():
+    with backends.TempHDFBackend() as hdf:
+        _run(hdf)
+        second = backends.HDFBackend(hdf.filename, "run2")
+        _run(second, seed=4321)
+        assert backends.HDFBackend(hdf.filename, hdf.name).iteration == 20
+        assert second.iteration == 20
+        chains_differ = not np.allclose(
+            np.asarray(backends.HDFBackend(hdf.filename, hdf.name).get_chain()),
+            np.asarray(second.get_chain()),
+        )
+        assert chains_differ
+
+
+def test_hdf_blobs():
+    with backends.TempHDFBackend() as hdf:
+        s = _run(hdf, blobs=True)
+        blobs = s.get_blobs()
+        assert np.shape(blobs) == (20, 16, 3)
+        last = s.get_last_sample()
+        np.testing.assert_allclose(
+            np.asarray(last.blobs), np.asarray(blobs)[-1]
+        )
+
+
+def test_hdf_compression_smoke():
+    with backends.TempHDFBackend(compression="gzip") as hdf:
+        s = _run(hdf)
+        assert s.get_chain().shape == (20, 16, 3)
+
+
+def test_backend_shape_incompatibility_raises():
+    mem = backends.Backend()
+    _run(mem)
+    with pytest.raises(ValueError):
+        EnsembleSampler(8, 2, normal_log_prob, backend=mem, seed=0)
+
+
+def test_save_step_compat():
+    """Single-step save path used by external drivers."""
+    be = backends.Backend()
+    be.reset(4, 2)
+    state = State(
+        coords=jnp.zeros((4, 2)),
+        log_prob=jnp.zeros(4),
+        random_state=jax.random.key(0),
+    )
+    be.grow(3, None)
+    for _ in range(3):
+        be.save_step(state, np.array([True, False, True, False]))
+    assert be.iteration == 3
+    np.testing.assert_array_equal(be.accepted, [3, 0, 3, 0])

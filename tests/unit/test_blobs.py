@@ -1,0 +1,92 @@
+"""Blob pytree tests (reference ``tests/unit/test_blobs.py``).
+
+Dynamic dtype inference and object/ragged blobs are out of scope under jit
+(SURVEY hard part (b)); static blob pytrees of any structure are supported.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emcee_tpu import EnsembleSampler
+
+
+def _run(lp, nwalkers=16, ndim=2, nsteps=8, seed=0):
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(seed), (nwalkers, ndim))
+    )
+    s = EnsembleSampler(nwalkers, ndim, lp, seed=seed)
+    s.run_mcmc(coords, nsteps)
+    return s
+
+
+def test_vector_blob():
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), x
+
+    s = _run(lp)
+    blobs = s.get_blobs()
+    assert np.shape(blobs) == (8, 16, 2)
+
+
+def test_scalar_blob():
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), jnp.sum(x)
+
+    s = _run(lp)
+    blobs = s.get_blobs()
+    assert np.shape(blobs) == (8, 16)
+
+
+def test_multiple_blobs_tuple():
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), jnp.sum(x), x * 2.0
+
+    s = _run(lp)
+    blobs = s.get_blobs()
+    assert isinstance(blobs, tuple) and len(blobs) == 2
+    assert np.shape(blobs[0]) == (8, 16)
+    assert np.shape(blobs[1]) == (8, 16, 2)
+
+
+def test_dict_blob():
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), {"s": jnp.sum(x), "v": x}
+
+    s = _run(lp)
+    blobs = s.get_blobs()
+    assert set(blobs.keys()) == {"s", "v"}
+    assert np.shape(blobs["s"]) == (8, 16)
+    assert np.shape(blobs["v"]) == (8, 16, 2)
+
+
+def test_int_dtype_blob():
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), jnp.argmax(jnp.abs(x)).astype(jnp.int32)
+
+    s = _run(lp)
+    blobs = s.get_blobs()
+    assert np.shape(blobs) == (8, 16)
+    assert blobs.dtype == np.int32
+
+
+def test_matrix_blob():
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), jnp.outer(x, x)
+
+    s = _run(lp)
+    blobs = s.get_blobs()
+    assert np.shape(blobs) == (8, 16, 2, 2)
+
+
+def test_blobs_accepted_consistency():
+    """Blobs of rejected proposals must carry the previous value."""
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), x
+
+    s = _run(lp, nsteps=20)
+    chain = np.asarray(s.get_chain())
+    blobs = np.asarray(s.get_blobs())
+    np.testing.assert_allclose(blobs, chain, rtol=1e-6)

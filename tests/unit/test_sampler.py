@@ -1,0 +1,306 @@
+"""Sampler contract tests (reference ``tests/unit/test_sampler.py``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import emcee_tpu
+from emcee_tpu import EnsembleSampler, State, backends, moves
+
+
+def normal_log_prob(params):
+    return -0.5 * jnp.sum(params**2)
+
+
+def run_sampler(
+    backend,
+    nwalkers=32,
+    ndim=3,
+    nsteps=25,
+    seed=1234,
+    thin_by=1,
+    progress=False,
+    store=True,
+    log_prob_fn=normal_log_prob,
+    move=None,
+):
+    key = jax.random.key(seed)
+    coords = jax.random.normal(key, (nwalkers, ndim))
+    sampler = EnsembleSampler(
+        nwalkers, ndim, log_prob_fn, backend=backend, seed=seed, moves=move
+    )
+    sampler.run_mcmc(
+        coords, nsteps, thin_by=thin_by, progress=progress, store=store
+    )
+    return sampler
+
+
+@pytest.mark.parametrize("backend", backends.get_test_backends())
+@pytest.mark.parametrize(
+    "moves_arg",
+    [
+        None,
+        moves.GaussianMove(0.5),
+        [moves.StretchMove(), moves.GaussianMove(0.5)],
+        [(moves.StretchMove(), 0.3), (moves.GaussianMove(0.5), 0.1)],
+    ],
+)
+def test_shapes(backend, moves_arg):
+    nwalkers, ndim, nsteps = 32, 3, 25
+
+    def check(be):
+        sampler = run_sampler(be, nsteps=nsteps, move=moves_arg)
+        chain = sampler.get_chain()
+        assert chain.shape == (nsteps, nwalkers, ndim)
+        assert sampler.get_log_prob().shape == (nsteps, nwalkers)
+        assert sampler.acceptance_fraction.shape == (nwalkers,)
+        assert sampler.iteration == nsteps
+        flat = sampler.get_chain(flat=True)
+        assert flat.shape == (nsteps * nwalkers, ndim)
+
+    if backend is backends.Backend:
+        check(backend())
+    else:
+        with backend() as be:
+            check(be)
+
+
+def test_errors_uninitialized_access():
+    sampler = EnsembleSampler(10, 2, normal_log_prob, seed=0)
+    with pytest.raises(AttributeError):
+        sampler.get_chain()
+
+
+def test_errors_shape_mismatch():
+    sampler = EnsembleSampler(10, 2, normal_log_prob, seed=0)
+    coords = np.zeros((10, 3))
+    with pytest.raises(ValueError):
+        sampler.run_mcmc(coords, 5)
+
+
+def test_errors_dependent_walkers():
+    sampler = EnsembleSampler(10, 2, normal_log_prob, seed=0)
+    coords = np.ones((10, 2))  # fully degenerate ensemble
+    with pytest.raises(ValueError):
+        sampler.run_mcmc(coords, 5)
+    # skip_initial_state_check bypasses the guard
+    sampler.run_mcmc(
+        coords + 1e-8 * np.random.default_rng(0).normal(size=(10, 2)),
+        2,
+        skip_initial_state_check=True,
+    )
+
+
+def test_errors_nan_log_prob():
+    def bad(params):
+        return jnp.nan
+
+    sampler = EnsembleSampler(10, 2, bad, seed=0)
+    coords = np.random.default_rng(0).normal(size=(10, 2))
+    with pytest.raises(ValueError):
+        sampler.run_mcmc(coords, 5)
+
+
+def test_errors_infinite_coords():
+    sampler = EnsembleSampler(10, 2, normal_log_prob, seed=0)
+    coords = np.random.default_rng(0).normal(size=(10, 2))
+    coords[0, 0] = np.inf
+    with pytest.raises(ValueError):
+        sampler.run_mcmc(coords, 5)
+
+
+def test_thin_by():
+    """thin_by=k chain == every-k subsample in expectation of shapes."""
+    nsteps, thin_by = 20, 3
+    sampler = run_sampler(None, nsteps=nsteps, thin_by=thin_by)
+    assert sampler.get_chain().shape == (nsteps, 32, 3)
+    assert sampler.iteration == nsteps
+
+
+def test_thin_by_matches_unthinned():
+    """Same key: thin_by=k must reproduce every k-th unthinned sample."""
+    nwalkers, ndim = 16, 2
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(5), (nwalkers, ndim))
+    )
+    key = jax.random.key(7)
+    s1 = EnsembleSampler(nwalkers, ndim, normal_log_prob, seed=0)
+    s1.run_mcmc(State(jnp.asarray(coords), random_state=key), 12)
+    s2 = EnsembleSampler(nwalkers, ndim, normal_log_prob, seed=0)
+    s2.run_mcmc(State(jnp.asarray(coords), random_state=key), 4, thin_by=3)
+    c1 = s1.get_chain()
+    c2 = s2.get_chain()
+    np.testing.assert_allclose(c1[2::3], c2, rtol=1e-6)
+
+
+def test_restart_continuation():
+    sampler = run_sampler(None, nsteps=10)
+    state1 = sampler.get_last_sample()
+    sampler.run_mcmc(None, 10)
+    assert sampler.iteration == 20
+    chain = sampler.get_chain()
+    np.testing.assert_allclose(chain[9], np.asarray(state1.coords))
+
+
+def test_restart_requires_history():
+    sampler = EnsembleSampler(10, 2, normal_log_prob, seed=0)
+    with pytest.raises(ValueError):
+        sampler.run_mcmc(None, 5)
+
+
+def test_vectorize():
+    def vec_log_prob(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    nwalkers, ndim = 16, 2
+    sampler = EnsembleSampler(
+        nwalkers, ndim, vec_log_prob, vectorize=True, seed=0
+    )
+    coords = np.random.default_rng(0).normal(size=(nwalkers, ndim))
+    sampler.run_mcmc(coords, 10)
+    assert sampler.get_chain().shape == (10, nwalkers, ndim)
+
+
+def test_host_callback_log_prob():
+    """Non-JAX (numpy) log-prob via the pure_callback escape hatch."""
+
+    def np_log_prob(x):
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    nwalkers, ndim = 16, 2
+    sampler = EnsembleSampler(
+        nwalkers, ndim, np_log_prob, host_callback=True, seed=0
+    )
+    coords = np.random.default_rng(0).normal(size=(nwalkers, ndim))
+    sampler.run_mcmc(coords, 10)
+    lp = sampler.get_log_prob()
+    expected = -0.5 * np.sum(sampler.get_chain() ** 2, axis=-1)
+    np.testing.assert_allclose(lp, expected, rtol=1e-5)
+
+
+def test_infinite_generator():
+    sampler = EnsembleSampler(16, 2, normal_log_prob, seed=0)
+    coords = np.random.default_rng(0).normal(size=(16, 2))
+    gen = sampler.sample(coords, iterations=None, store=False)
+    for i, state in enumerate(gen):
+        if i >= 5:
+            break
+    assert state.coords.shape == (16, 2)
+    with pytest.raises(ValueError):
+        next(sampler.sample(coords, iterations=None, store=True))
+
+
+def test_generator_yields():
+    sampler = EnsembleSampler(16, 2, normal_log_prob, seed=0)
+    coords = np.random.default_rng(0).normal(size=(16, 2))
+    n = 0
+    for state in sampler.sample(coords, iterations=7):
+        n += 1
+        assert isinstance(state, State)
+    assert n == 7
+    assert sampler.iteration == 7
+
+
+def test_determinism():
+    """Fixed seed => bit-identical chains across runs."""
+    s1 = run_sampler(None, nsteps=15, seed=42)
+    s2 = run_sampler(None, nsteps=15, seed=42)
+    np.testing.assert_array_equal(s1.get_chain(), s2.get_chain())
+
+
+def test_run_mcmc_resume_matches_single_run():
+    """10 + 10 steps with resume == 20 steps in one call."""
+    nwalkers, ndim = 16, 2
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(3), (nwalkers, ndim))
+    )
+    key = jax.random.key(11)
+
+    s1 = EnsembleSampler(nwalkers, ndim, normal_log_prob, seed=0)
+    s1.run_mcmc(State(jnp.asarray(coords), random_state=key), 20)
+
+    s2 = EnsembleSampler(nwalkers, ndim, normal_log_prob, seed=0)
+    s2.run_mcmc(State(jnp.asarray(coords), random_state=key), 10)
+    s2.run_mcmc(None, 10)
+
+    np.testing.assert_allclose(
+        s1.get_chain(), s2.get_chain(), rtol=1e-6
+    )
+
+
+def test_walkers_independent_properties():
+    """Property suite mirroring reference test_sampler.py:237-321."""
+    rng = np.random.default_rng(0)
+    # Constant ensembles and too-few walkers are dependent.
+    assert not emcee_tpu.walkers_independent(np.ones((10, 2)))
+    assert not emcee_tpu.walkers_independent(rng.normal(size=(2, 3)))
+    # Random ensembles are independent, including under large offsets.
+    base = rng.normal(size=(30, 10))
+    assert emcee_tpu.walkers_independent(base)
+    for offset in [1e5, 1e10, 1e14]:
+        assert emcee_tpu.walkers_independent(base + offset)
+    # ... but not past float64 precision.
+    assert not emcee_tpu.walkers_independent(
+        base + 10 / np.finfo(float).eps
+    )
+    # Projecting away one direction makes the ensemble dependent, even when
+    # only squashed to 1e-8 of its original extent.
+    p = rng.normal(size=10)
+    p /= np.linalg.norm(p)
+    proj = np.sum(p[None, :] * base, axis=1)[:, None] * p[None, :]
+    assert not emcee_tpu.walkers_independent(base - proj)
+    assert not emcee_tpu.walkers_independent(base - proj + 1e-8 * proj)
+    # Mixed scales (overflow-if-squared) are fine.
+    scales = np.array([1, 1e10, 1e100, 1e200, 1e-10, 1e-100, 1e-200])
+    w = rng.normal(size=(35, 7)) * scales[None, :]
+    assert emcee_tpu.walkers_independent(w)
+    # Non-finite coordinates are not independent.
+    bad = base.copy()
+    bad[0, 0] = np.inf
+    assert not emcee_tpu.walkers_independent(bad)
+
+
+def test_pool_warns():
+    with pytest.warns(UserWarning):
+        EnsembleSampler(10, 2, normal_log_prob, pool=object(), seed=0)
+
+
+def test_named_parameters():
+    def lp(params):
+        return -0.5 * (params["x"] ** 2 + jnp.sum(params["y"] ** 2))
+
+    nwalkers, ndim = 16, 3
+    sampler = EnsembleSampler(
+        nwalkers,
+        ndim,
+        lp,
+        parameter_names={"x": 0, "y": [1, 2]},
+        seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(nwalkers, ndim))
+    sampler.run_mcmc(coords, 10)
+    assert sampler.get_chain().shape == (10, nwalkers, ndim)
+    expected = -0.5 * np.sum(sampler.get_chain() ** 2, axis=-1)
+    np.testing.assert_allclose(sampler.get_log_prob(), expected, rtol=1e-5)
+
+
+def test_named_parameters_list():
+    def lp(params):
+        return -0.5 * (params["a"] ** 2 + params["b"] ** 2)
+
+    sampler = EnsembleSampler(
+        16, 2, lp, parameter_names=["a", "b"], seed=0
+    )
+    coords = np.random.default_rng(0).normal(size=(16, 2))
+    sampler.run_mcmc(coords, 10)
+    assert sampler.get_chain().shape == (10, 16, 2)
+
+
+def test_reset():
+    sampler = run_sampler(None, nsteps=10)
+    assert sampler.iteration == 10
+    sampler.reset()
+    assert sampler.iteration == 0
+    with pytest.raises(AttributeError):
+        sampler.get_chain()

@@ -1,0 +1,120 @@
+"""Walker-sharding tests on a virtual 8-device CPU mesh.
+
+The reference has no distributed tests (its pool is duck-typed); this is
+the new coverage SURVEY §4 calls for: sharded execution must produce
+statistically correct chains, run deterministically, and actually
+distribute the walkers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emcee_tpu import EnsembleSampler, State, moves
+from emcee_tpu.parallel import walker_mesh
+
+
+def normal_log_prob(params):
+    return -0.5 * jnp.sum(params**2)
+
+
+def normal_log_prob_blobs(params):
+    return -0.5 * jnp.sum(params**2), params
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple devices"
+)
+
+
+def _run(mesh, move=None, nwalkers=64, ndim=3, nsteps=500, seed=0, lp=None):
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(seed), (nwalkers, ndim))
+    )
+    s = EnsembleSampler(
+        nwalkers, ndim, lp or normal_log_prob, moves=move, seed=seed, mesh=mesh
+    )
+    s.run_mcmc(coords, nsteps)
+    return s
+
+
+def test_sharded_shapes_and_stats():
+    mesh = walker_mesh()
+    s = _run(mesh, nsteps=1500)
+    chain = np.asarray(s.get_chain(flat=True, discard=300))
+    assert np.all(np.abs(chain.mean(0)) < 0.1)
+    assert np.all(np.abs(chain.std(0) - 1) < 0.08)
+    acc = s.acceptance_fraction
+    assert np.all((acc > 0.1) & (acc < 0.9))
+
+
+@pytest.mark.parametrize(
+    "move",
+    [
+        moves.StretchMove(),
+        moves.DEMove(),
+        moves.DESnookerMove(),
+        moves.GaussianMove(0.5),
+    ],
+    ids=["stretch", "de", "snooker", "gaussian"],
+)
+def test_sharded_moves_smoke(move):
+    mesh = walker_mesh()
+    s = _run(mesh, move=move, nsteps=100)
+    assert s.get_chain().shape == (100, 64, 3)
+    assert np.all(np.isfinite(s.get_chain()))
+
+
+def test_sharded_mixture():
+    mesh = walker_mesh()
+    s = _run(
+        mesh,
+        move=[(moves.StretchMove(), 0.7), (moves.DEMove(), 0.3)],
+        nsteps=100,
+    )
+    assert s.get_chain().shape == (100, 64, 3)
+
+
+def test_sharded_blobs():
+    mesh = walker_mesh()
+    s = _run(mesh, nsteps=50, lp=normal_log_prob_blobs)
+    blobs = np.asarray(s.get_blobs())
+    chain = np.asarray(s.get_chain())
+    np.testing.assert_allclose(blobs, chain, rtol=1e-6)
+
+
+def test_sharded_determinism():
+    mesh = walker_mesh()
+    s1 = _run(mesh, nsteps=50, seed=3)
+    s2 = _run(mesh, nsteps=50, seed=3)
+    np.testing.assert_array_equal(s1.get_chain(), s2.get_chain())
+
+
+def test_sharded_resume():
+    mesh = walker_mesh()
+    nwalkers, ndim = 64, 3
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(1), (nwalkers, ndim))
+    )
+    start = State(jnp.asarray(coords), random_state=jax.random.key(2))
+
+    s_full = EnsembleSampler(
+        nwalkers, ndim, normal_log_prob, seed=0, mesh=mesh
+    )
+    s_full.run_mcmc(start, 40)
+
+    s_split = EnsembleSampler(
+        nwalkers, ndim, normal_log_prob, seed=0, mesh=mesh
+    )
+    s_split.run_mcmc(start, 20)
+    s_split.run_mcmc(None, 20)
+    np.testing.assert_allclose(
+        s_full.get_chain(), s_split.get_chain(), rtol=1e-5
+    )
+
+
+def test_mesh_divisibility_check():
+    mesh = walker_mesh()
+    with pytest.raises(ValueError):
+        EnsembleSampler(30, 3, normal_log_prob, seed=0, mesh=mesh)
