@@ -1,0 +1,580 @@
+"""Parallel-tempered ensemble sampler.
+
+The reference removed ``PTSampler`` in v3 and shims it to the external
+``ptemcee`` package (``/root/reference/src/emcee/ptsampler.py:4-17``;
+``HISTORY.rst`` v1.2/v3.0).  BASELINE.json workload 4 requires tempering
+first-class, so this is a TPU-native rebuild of the v1.2-era capability:
+
+* a ladder of inverse temperatures ``betas``; temperature ``t`` samples
+  ``beta_t * log_like + log_prior``;
+* each temperature runs the standard ensemble move machinery, vmapped over
+  the temperature axis (one fused XLA program for all rungs);
+* after every ``swap_every`` proposals, adjacent rungs exchange walkers with
+  probability ``min(1, exp((beta_i - beta_j) * (logL_j - logL_i)))``,
+  alternating even/odd pairings (deterministic even-odd, Syed et al. 2019);
+* under a mesh, walkers shard over the walker axis exactly like
+  :class:`EnsembleSampler` (the temperature axis rides along as a batch
+  dim; swaps are shard-local since they pair identical walker slots).
+
+The default ladder is geometric with the Vousden et al. (2016) style
+spacing ``ratio = 1 + sqrt(2/ndim)`` appropriate for Gaussian-like targets.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import moves as _moves_mod
+from ..model import Model, wrap_log_prob_fn
+from ..ops import autocorr
+from ..state import State, walkers_independent
+
+__all__ = ["PTSampler", "PTState", "default_beta_ladder"]
+
+
+def default_beta_ladder(ntemps, ndim, max_temp=None):
+    """Geometric inverse-temperature ladder.
+
+    Spacing ``1 + sqrt(2/ndim)`` per rung (the optimal adjacent-temperature
+    ratio for a d-dimensional Gaussian, Vousden et al. 2016); with
+    ``max_temp`` given, the ladder spans [1, max_temp] geometrically, and
+    the top rung is always included.
+    """
+    if max_temp is None:
+        ratio = 1.0 + np.sqrt(2.0 / ndim)
+        betas = ratio ** (-np.arange(ntemps, dtype=np.float64))
+    else:
+        betas = np.exp(
+            np.linspace(0.0, -np.log(max_temp), ntemps)
+        )
+    return betas
+
+
+class PTState(NamedTuple):
+    """Snapshot of the tempered ensemble.
+
+    Leading axes: ``(ntemps, nwalkers, ...)``.
+    """
+
+    coords: jax.Array  # (T, nw, nd)
+    log_like: jax.Array  # (T, nw)
+    log_prior: jax.Array  # (T, nw)
+    random_state: Optional[jax.Array] = None
+
+    @property
+    def ntemps(self):
+        return self.coords.shape[0]
+
+    @property
+    def nwalkers(self):
+        return self.coords.shape[1]
+
+    @property
+    def ndim(self):
+        return self.coords.shape[2]
+
+
+class PTSampler:
+    """Parallel-tempered ensemble MCMC sampler.
+
+    Args:
+        ntemps: number of temperature rungs.
+        nwalkers: walkers per rung.
+        ndim: parameter dimensionality.
+        log_like_fn: log likelihood, single ``(ndim,)`` vector unless
+            ``vectorize=True`` (then ``(n, ndim) -> (n,)``).
+        log_prior_fn: log prior, same convention.
+        betas: explicit inverse-temperature ladder (default: geometric, see
+            :func:`default_beta_ladder`).
+        moves: move / weighted move list, as for :class:`EnsembleSampler`.
+        swap_every: proposals between swap attempts (default 1).
+        seed: PRNG seed or key.
+        mesh: optional mesh; walkers shard over ``walker_axis``.
+    """
+
+    def __init__(
+        self,
+        ntemps,
+        nwalkers,
+        ndim,
+        log_like_fn,
+        log_prior_fn,
+        betas=None,
+        moves=None,
+        args=None,
+        kwargs=None,
+        vectorize=False,
+        swap_every=1,
+        seed=0,
+        mesh: Optional[Mesh] = None,
+        walker_axis: str = "walkers",
+        io_chunk_bytes: int = 1 << 27,
+    ):
+        self.nwalkers = int(nwalkers)
+        self.ndim = int(ndim)
+        if betas is None:
+            betas = default_beta_ladder(ntemps, ndim)
+        self.betas = np.asarray(betas, dtype=np.float64)
+        self.ntemps = len(self.betas)
+        assert self.ntemps == ntemps
+        self.swap_every = int(swap_every)
+
+        if moves is None:
+            self._moves = [_moves_mod.StretchMove()]
+            self._weights = np.array([1.0])
+        elif hasattr(moves, "propose"):
+            self._moves = [moves]
+            self._weights = np.array([1.0])
+        else:
+            moves = list(moves)
+            if all(hasattr(m, "__len__") and len(m) == 2 for m in moves):
+                self._moves, w = map(list, zip(*moves))
+                self._weights = np.asarray(w, dtype=float)
+            else:
+                self._moves = moves
+                self._weights = np.ones(len(moves))
+        self._weights = self._weights / np.sum(self._weights)
+
+        self.mesh = mesh
+        self.walker_axis = walker_axis
+        self._axis_name = walker_axis if mesh is not None else None
+        if mesh is not None and self.nwalkers % mesh.shape[walker_axis]:
+            raise ValueError(
+                f"nwalkers ({self.nwalkers}) must divide by the mesh "
+                f"'{walker_axis}' axis size ({mesh.shape[walker_axis]})"
+            )
+
+        if isinstance(seed, (int, np.integer)):
+            self._key = jax.random.key(seed)
+        else:
+            self._key = seed
+
+        self._log_like = wrap_log_prob_fn(
+            log_like_fn, args=args, kwargs=kwargs, vectorize=vectorize
+        )
+        self._log_prior = wrap_log_prob_fn(
+            log_prior_fn, vectorize=vectorize
+        )
+        self._io_chunk_bytes = int(io_chunk_bytes)
+
+        # Host-side storage.
+        self.reset()
+        self._run_cache = {}
+
+    def reset(self):
+        self.iteration = 0
+        self._chain = []  # list of (k, T, nw, nd) numpy chunks
+        self._log_like_chain = []
+        self._log_prior_chain = []
+        self.accepted = np.zeros((self.ntemps, self.nwalkers), dtype=np.int64)
+        self.swaps_accepted = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
+        self.swaps_proposed = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
+        self._previous_state = None
+
+    # ------------------------------------------------------------------
+    def _tempered_model(self, beta):
+        """Model whose log-prob is beta*logL + logP, blobs=(logL, logP)."""
+
+        def compute(q):
+            ll, _ = self._log_like(q)
+            lpr, _ = self._log_prior(q)
+            finite = lpr > -jnp.inf
+            ll = jnp.where(finite, ll, 0.0)
+            lp = jnp.where(finite, beta * ll + lpr, -jnp.inf)
+            return lp, (ll, lpr)
+
+        return Model(
+            compute_log_prob=compute,
+            axis_name=self._axis_name,
+            nwalkers=self.nwalkers,
+        )
+
+    def _init_carries(self):
+        base = tuple(
+            m.init_carry(self.nwalkers, self.ndim) for m in self._moves
+        )
+        # One carry per temperature (vmapped axis 0).
+        return jax.tree_util.tree_map(
+            lambda c: jnp.broadcast_to(c, (self.ntemps,) + c.shape)
+            if hasattr(c, "shape")
+            else c,
+            base,
+        )
+
+    def _move_step(self, key, coords, log_like, log_prior, betas, carries):
+        """One ensemble-move proposal at every temperature (vmapped)."""
+        n_moves = len(self._moves)
+        k_move, k_prop = jax.random.split(key)
+        temp_keys = jax.random.split(k_prop, self.ntemps)
+
+        def per_temp(key_t, coords_t, ll_t, lpr_t, beta_t, carries_t, idx):
+            model = self._tempered_model(beta_t)
+            lp_t = jnp.where(
+                lpr_t > -jnp.inf, beta_t * ll_t + lpr_t, -jnp.inf
+            )
+            st = State(
+                coords=coords_t, log_prob=lp_t, blobs=(ll_t, lpr_t)
+            )
+
+            if n_moves == 1:
+                new_st, acc, c = self._moves[0].propose(
+                    key_t, st, model, carries_t[0]
+                )
+                carries_t = (c,)
+            else:
+
+                def make_branch(i):
+                    def branch(operand):
+                        k, s, cs = operand
+                        ns, acc, c = self._moves[i].propose(
+                            k, s, model, cs[i]
+                        )
+                        cs = cs[:i] + (c,) + cs[i + 1 :]
+                        return ns, acc, cs
+
+                    return branch
+
+                new_st, acc, carries_t = jax.lax.switch(
+                    idx,
+                    [make_branch(i) for i in range(n_moves)],
+                    (key_t, st, carries_t),
+                )
+            new_ll, new_lpr = new_st.blobs
+            return new_st.coords, new_ll, new_lpr, acc, carries_t
+
+        if n_moves > 1:
+            idx = jax.random.choice(
+                k_move, n_moves, p=jnp.asarray(self._weights)
+            )
+        else:
+            idx = jnp.zeros((), dtype=jnp.int32)
+        idxs = jnp.broadcast_to(idx, (self.ntemps,))
+        return jax.vmap(per_temp)(
+            temp_keys, coords, log_like, log_prior, betas, carries, idxs
+        )
+
+    def _swap_step(self, key, coords, log_like, log_prior, betas, parity):
+        """Even/odd adjacent-rung exchange; returns swapped arrays + stats.
+
+        For pair (i, i+1): accept with log-prob
+        ``(beta_i - beta_{i+1}) * (logL_{i+1} - logL_i)``.
+        """
+        T = self.ntemps
+        pair_lo = np.arange(parity, T - 1, 2)
+        if len(pair_lo) == 0:
+            zeros = jnp.zeros((0, coords.shape[1]), dtype=bool)
+            return coords, log_like, log_prior, zeros, pair_lo
+        lo = jnp.asarray(pair_lo)
+        hi = lo + 1
+        dbeta = betas[lo] - betas[hi]  # (P,)
+        dll = log_like[hi] - log_like[lo]  # (P, nw)
+        u = jax.random.uniform(key, dll.shape, dtype=dll.dtype)
+        acc = jnp.log(u) < dbeta[:, None] * dll  # (P, nw)
+
+        def exch(arr):
+            a_lo, a_hi = arr[lo], arr[hi]
+            m = acc.reshape(acc.shape + (1,) * (arr.ndim - 2))
+            new_lo = jnp.where(m, a_hi, a_lo)
+            new_hi = jnp.where(m, a_lo, a_hi)
+            return arr.at[lo].set(new_lo).at[hi].set(new_hi)
+
+        return exch(coords), exch(log_like), exch(log_prior), acc, pair_lo
+
+    def _build_chunk(self, nkeep, thin_by, store):
+        cache_key = (nkeep, thin_by, store)
+        fn = self._run_cache.get(cache_key)
+        if fn is not None:
+            return fn
+
+        betas = jnp.asarray(self.betas)
+        swap_every = self.swap_every
+
+        def one(carry, step_i):
+            state, carries, swap_acc_tot = carry
+            key, k_move, k_swap = jax.random.split(state.random_state, 3)
+            coords, ll, lpr, acc, carries = self._move_step(
+                k_move,
+                state.coords,
+                state.log_like,
+                state.log_prior,
+                betas,
+                carries,
+            )
+            parity = step_i % 2
+
+            def do_swap(args):
+                coords, ll, lpr, swap_acc_tot = args
+                # Alternate even/odd pairings by step parity; both
+                # parities compiled, selected by lax.cond.
+                def even(_):
+                    c, l, p, a, _lo = self._swap_step(
+                        k_swap, coords, ll, lpr, betas, 0
+                    )
+                    return c, l, p, self._scatter_swap_counts(a, 0)
+
+                def odd(_):
+                    c, l, p, a, _lo = self._swap_step(
+                        k_swap, coords, ll, lpr, betas, 1
+                    )
+                    return c, l, p, self._scatter_swap_counts(a, 1)
+
+                c, l, p, counts = jax.lax.cond(
+                    parity == 0, even, odd, None
+                )
+                return c, l, p, swap_acc_tot + counts
+
+            if swap_every > 0:
+                do = (step_i % swap_every) == (swap_every - 1)
+                coords, ll, lpr, swap_acc_tot = jax.lax.cond(
+                    do,
+                    do_swap,
+                    lambda args: args,
+                    (coords, ll, lpr, swap_acc_tot),
+                )
+
+            state = PTState(
+                coords=coords,
+                log_like=ll,
+                log_prior=lpr,
+                random_state=key,
+            )
+            return (state, carries, swap_acc_tot), acc
+
+        def kept(carry, step_i):
+            base = step_i * thin_by
+            (state, carries, swp), accs = jax.lax.scan(
+                one,
+                carry,
+                base + jnp.arange(thin_by),
+            )
+            if store:
+                out = (
+                    state.coords,
+                    state.log_like,
+                    state.log_prior,
+                    accs[-1],
+                )
+            else:
+                out = None
+            return (state, carries, swp), out
+
+        def chunk(state, carries, swap_acc_tot):
+            (state, carries, swp), outs = jax.lax.scan(
+                kept,
+                (state, carries, swap_acc_tot),
+                jnp.arange(nkeep),
+            )
+            return state, carries, swp, outs
+
+        if self.mesh is not None:
+            ax = self.walker_axis
+            state_spec = PTState(
+                coords=P(None, ax, None),
+                log_like=P(None, ax),
+                log_prior=P(None, ax),
+                random_state=P(),
+            )
+            carries_spec = jax.tree_util.tree_map(
+                lambda _: P(), self._init_carries()
+            )
+            swap_spec = P(None, ax)
+            if store:
+                out_spec = (
+                    P(None, None, ax, None),
+                    P(None, None, ax),
+                    P(None, None, ax),
+                    P(None, None, ax),
+                )
+            else:
+                out_spec = None
+            chunk = _shard_map(
+                chunk,
+                mesh=self.mesh,
+                in_specs=(state_spec, carries_spec, swap_spec),
+                out_specs=(state_spec, carries_spec, swap_spec, out_spec),
+                check_vma=False,
+            )
+
+        fn = jax.jit(chunk)
+        self._run_cache[cache_key] = fn
+        return fn
+
+    def _scatter_swap_counts(self, acc, parity):
+        """(P, nw) bool pair acceptances -> (T-1, nw) counts at pair slots."""
+        T = self.ntemps
+        counts = jnp.zeros((max(T - 1, 1), acc.shape[1]), dtype=jnp.int32)
+        lo = jnp.arange(parity, T - 1, 2)
+        if lo.shape[0] == 0:
+            return counts
+        return counts.at[lo].add(acc.astype(jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _prepare_state(self, initial_state, skip_check=False):
+        if isinstance(initial_state, PTState):
+            state = initial_state
+        else:
+            coords = jnp.asarray(initial_state)
+            if coords.shape != (self.ntemps, self.nwalkers, self.ndim):
+                raise ValueError(
+                    f"incompatible input dimensions {coords.shape}; "
+                    f"expected {(self.ntemps, self.nwalkers, self.ndim)}"
+                )
+            state = PTState(coords=coords, log_like=None, log_prior=None)
+        if not skip_check:
+            for t in range(self.ntemps):
+                if not walkers_independent(state.coords[t]):
+                    raise ValueError(
+                        f"Initial state for temperature {t} has a large "
+                        "condition number"
+                    )
+        if state.random_state is None:
+            self._key, sub = jax.random.split(self._key)
+            state = state._replace(random_state=sub)
+        if state.log_like is None:
+            flat = state.coords.reshape(-1, self.ndim)
+            ll, _ = jax.jit(self._log_like)(flat)
+            lpr, _ = jax.jit(self._log_prior)(flat)
+            ll = ll.reshape(self.ntemps, self.nwalkers)
+            lpr = lpr.reshape(self.ntemps, self.nwalkers)
+            if np.any(np.isnan(np.asarray(ll))) or np.any(
+                np.isnan(np.asarray(lpr))
+            ):
+                raise ValueError("The initial log-likelihood was NaN")
+            state = state._replace(log_like=ll, log_prior=lpr)
+        if self.mesh is not None:
+            ax = self.walker_axis
+            sh = PTState(
+                coords=NamedSharding(self.mesh, P(None, ax, None)),
+                log_like=NamedSharding(self.mesh, P(None, ax)),
+                log_prior=NamedSharding(self.mesh, P(None, ax)),
+                random_state=NamedSharding(self.mesh, P()),
+            )
+            state = jax.tree_util.tree_map(jax.device_put, state, sh)
+        return state
+
+    def run_mcmc(
+        self,
+        initial_state,
+        nsteps,
+        thin_by=1,
+        store=True,
+        skip_initial_state_check=False,
+    ):
+        """Run ``nsteps`` kept steps; returns the final :class:`PTState`."""
+        if initial_state is None:
+            if self._previous_state is None:
+                raise ValueError(
+                    "Cannot have `initial_state=None` on the first call"
+                )
+            initial_state = self._previous_state
+        state = self._prepare_state(
+            initial_state, skip_initial_state_check
+        )
+        carries = self._init_carries()
+        swap_acc = jnp.zeros(
+            (max(self.ntemps - 1, 1), self.nwalkers), dtype=jnp.int32
+        )
+        if self.mesh is not None:
+            swap_acc = jax.device_put(
+                swap_acc,
+                NamedSharding(self.mesh, P(None, self.walker_axis)),
+            )
+
+        bytes_per_step = (
+            state.coords.size * state.coords.dtype.itemsize
+            + 3 * state.log_like.size * state.log_like.dtype.itemsize
+        )
+        max_chunk = max(
+            1, min(1024, self._io_chunk_bytes // max(1, bytes_per_step))
+        )
+        nsteps = int(nsteps)
+        sizes = (
+            [nsteps]
+            if nsteps <= max_chunk
+            else [max_chunk] * (nsteps // max_chunk)
+            + ([nsteps % max_chunk] if nsteps % max_chunk else [])
+        )
+        swaps_per_step = 1.0 / max(self.swap_every, 1)
+        for n in sizes:
+            run = self._build_chunk(n, int(thin_by), store)
+            state, carries, swap_acc, outs = run(state, carries, swap_acc)
+            if store:
+                coords, ll, lpr, accs = jax.device_get(outs)
+                self._chain.append(coords)
+                self._log_like_chain.append(ll)
+                self._log_prior_chain.append(lpr)
+                self.accepted += accs.sum(axis=0)
+                self.iteration += n
+        # Pair-swap statistics (walker-summed).
+        self.swaps_accepted = np.asarray(jax.device_get(swap_acc)).sum(
+            axis=1
+        )
+        total_swaps = int(
+            round(nsteps * thin_by * swaps_per_step)
+        )
+        # Each parity covers about half the pairs per swap attempt.
+        self.swaps_proposed = np.full(
+            max(self.ntemps - 1, 1),
+            max(total_swaps // 2, 1) * self.nwalkers,
+            dtype=np.int64,
+        )
+        self._previous_state = state
+        return state
+
+    # ------------------------------------------------------------------
+    @property
+    def acceptance_fraction(self):
+        return self.accepted / float(max(self.iteration, 1))
+
+    @property
+    def tswap_acceptance_fraction(self):
+        return self.swaps_accepted / np.maximum(self.swaps_proposed, 1)
+
+    def get_chain(self, discard=0, thin=1, flat=False, temp=None):
+        """Stored chain ``(it, T, nw, nd)`` (or one rung with ``temp``)."""
+        if not self._chain:
+            raise AttributeError("no stored chain")
+        v = np.concatenate(self._chain, axis=0)
+        v = v[discard + thin - 1 :: thin]
+        if temp is not None:
+            v = v[:, temp]
+            if flat:
+                return v.reshape(-1, v.shape[-1])
+        return v
+
+    def get_log_like(self, discard=0, thin=1):
+        return np.concatenate(self._log_like_chain, axis=0)[
+            discard + thin - 1 :: thin
+        ]
+
+    def get_autocorr_time(self, discard=0, thin=1, temp=0, **kwargs):
+        x = self.get_chain(discard=discard, thin=thin, temp=temp)
+        return thin * autocorr.integrated_time(x, **kwargs)
+
+    def log_evidence_estimate(self, discard=0):
+        """Thermodynamic-integration ln-evidence estimate.
+
+        Trapezoid rule over the ladder of mean log-likelihoods (the
+        stepping-stone of ptemcee's ``log_evidence_estimate``).
+        """
+        ll = self.get_log_like(discard=discard)  # (it, T, nw)
+        mean_ll = ll.mean(axis=(0, 2))  # (T,)
+        betas = self.betas
+        order = np.argsort(betas)
+        b, m = betas[order], mean_ll[order]
+        if b[0] > 0:  # integrate down to beta=0 by extending flat
+            b = np.concatenate([[0.0], b])
+            m = np.concatenate([[m[0]], m])
+        lnz = np.trapezoid(m, b)
+        return lnz

@@ -341,7 +341,7 @@ class EnsembleSampler:
             if store:
                 out = (state.coords, state.log_prob, state.blobs, accepted)
             else:
-                out = accepted
+                out = None
             return (state, carries), out
 
         def chunk(state, carries):
@@ -371,7 +371,7 @@ class EnsembleSampler:
                     P(None, ax),
                 )
             else:
-                out_spec = P(None, ax)
+                out_spec = None
             chunk = _shard_map(
                 chunk,
                 mesh=self.mesh,
