@@ -9,7 +9,9 @@ streaming.  Public surface mirrors the reference
 """
 
 from . import autocorr, backends, moves
+from .monitor import ConvergenceMonitor, run_until_converged
 from .ops.autocorr import AutocorrError
+from .parallel.tempering import PTSampler
 from .sampler import EnsembleSampler
 from .state import State, walkers_independent
 
@@ -17,8 +19,12 @@ __version__ = "0.1.0"
 
 __all__ = [
     "EnsembleSampler",
+    "PTSampler",
     "State",
     "walkers_independent",
+    "ConvergenceMonitor",
+    "run_until_converged",
+    "AutocorrError",
     "moves",
     "autocorr",
     "backends",

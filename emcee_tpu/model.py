@@ -25,8 +25,10 @@ class Model(NamedTuple):
     Fields
     ------
     compute_log_prob:
-        Canonical batched log-prob: ``(nwalkers_local, ndim) ->
-        (log_prob (nwalkers_local,), blobs pytree | None)``.
+        Canonical batched log-prob: ``(nwalkers_local, ndim_local) ->
+        (log_prob (nwalkers_local,), blobs pytree | None)``.  When
+        ``param_axis`` is set the wrapped function already psums partial
+        log-probs over the parameter shards.
     axis_name:
         Mesh axis name over which walkers are sharded when the step runs
         inside ``shard_map`` (moves all-gather the complementary ensemble
@@ -35,11 +37,51 @@ class Model(NamedTuple):
         Global number of walkers (used for trace-time sanity guards such as
         the ``nwalkers >= 2 * ndim`` red-blue check, which must see the
         global count, not the per-shard count).
+    param_axis:
+        Mesh axis name over which the *parameter* dimension is sharded
+        (the long-ndim / "sequence parallel" analogue for hierarchical
+        posteriors), or ``None``.  Per-walker randomness (stretch z,
+        partner indices, accept uniforms) must be identical across
+        parameter shards — moves fold only the walker-axis index into
+        their keys; per-dimension randomness (e.g. Gaussian proposal
+        noise) additionally folds the param-axis index via
+        :meth:`fold_param`.
+    ndim:
+        Global parameter dimensionality (``s.shape[1]`` is only the local
+        block when ``param_axis`` is set; affine-invariance factors like
+        the stretch move's ``(ndim-1) log z`` need the global value).
     """
 
     compute_log_prob: Callable[[jax.Array], tuple]
     axis_name: Optional[str] = None
     nwalkers: Optional[int] = None
+    param_axis: Optional[str] = None
+    ndim: Optional[int] = None
+
+    def global_ndim(self, local_ndim: int) -> float:
+        return self.ndim if self.ndim is not None else local_ndim
+
+    def fold_walker(self, key):
+        """Per-walker-shard key (identical across parameter shards)."""
+        if self.axis_name is not None:
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(self.axis_name)
+            )
+        return key
+
+    def fold_param(self, key):
+        """Additionally decorrelate across parameter shards."""
+        if self.param_axis is not None:
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(self.param_axis)
+            )
+        return key
+
+    def psum_params(self, x):
+        """Sum a per-walker partial reduction over parameter shards."""
+        if self.param_axis is not None:
+            return jax.lax.psum(x, self.param_axis)
+        return x
 
 
 def _named_params_adapter(

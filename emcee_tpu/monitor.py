@@ -1,0 +1,88 @@
+"""Built-in convergence monitoring.
+
+The reference documents this as a user pattern (``docs/tutorials/
+monitor.ipynb``): check the integrated autocorrelation time every N steps
+and stop when the chain is longer than ``tau_factor * tau`` and tau has
+stabilized to within ``dtau_rel``.  Here it is a first-class driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .ops import autocorr
+
+__all__ = ["ConvergenceMonitor", "run_until_converged"]
+
+
+@dataclass
+class ConvergenceMonitor:
+    """Tracks tau estimates across checkpoints.
+
+    Args:
+        tau_factor: required chain length in units of tau (the reference
+            pattern uses 100; ``integrated_time``'s own default tol is 50).
+        dtau_rel: required relative change of tau between checks.
+    """
+
+    tau_factor: float = 100.0
+    dtau_rel: float = 0.01
+    history: List[np.ndarray] = field(default_factory=list)
+    iterations: List[int] = field(default_factory=list)
+
+    def update(self, chain) -> bool:
+        """Record a tau estimate from chain (nsteps, nwalkers, ndim).
+
+        Returns True when converged.
+        """
+        tau = autocorr.integrated_time(chain, quiet=True)
+        n = np.shape(chain)[0]
+        self.history.append(tau)
+        self.iterations.append(n)
+        if np.any(~np.isfinite(tau)):
+            return False
+        converged = np.all(tau * self.tau_factor < n)
+        if len(self.history) > 1:
+            prev = self.history[-2]
+            converged &= np.all(
+                np.abs(prev - tau) / tau < self.dtau_rel
+            )
+        return bool(converged)
+
+    @property
+    def tau(self) -> Optional[np.ndarray]:
+        return self.history[-1] if self.history else None
+
+
+def run_until_converged(
+    sampler,
+    initial_state,
+    max_steps=100_000,
+    check_every=1_000,
+    monitor: Optional[ConvergenceMonitor] = None,
+    progress=False,
+    **kwargs,
+):
+    """Advance the chain until the tau-based criterion is met.
+
+    Returns ``(state, monitor)``; ``monitor.tau`` holds the final estimate.
+    Mirrors the monitor-tutorial loop: sample in blocks, estimate tau from
+    the stored chain, stop at ``tau_factor * tau < iteration`` with a
+    stable tau.
+    """
+    if monitor is None:
+        monitor = ConvergenceMonitor()
+    state = initial_state
+    done = 0
+    while done < max_steps:
+        n = min(check_every, max_steps - done)
+        state = sampler.run_mcmc(state, n, progress=progress, **kwargs)
+        done += n
+        if monitor.update(sampler.get_chain()):
+            break
+        # Subsequent calls continue from the sampler's previous state.
+        state = None
+    return sampler.get_last_sample(), monitor

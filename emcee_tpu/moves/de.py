@@ -30,25 +30,40 @@ class DEMove(RedBlueMove):
         gamma0: mean stretch factor; default ``2.38 / sqrt(2 ndim)``.
     """
 
-    def __init__(self, sigma=1.0e-5, gamma0=None, **kwargs):
+    def __init__(self, sigma=1.0e-5, gamma0=None, pair_mode="random", **kwargs):
         self.sigma = float(sigma)
         self.gamma0 = gamma0
+        if pair_mode not in ("random", "roll"):
+            raise ValueError(f"unknown pair_mode: {pair_mode!r}")
+        self.pair_mode = pair_mode
         super().__init__(**kwargs)
 
-    def get_proposal(self, key, s, c_parts):
+    def get_proposal(self, key, s, c_parts, model):
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]
         g0 = self.gamma0
         if g0 is None:
             # "Pure MAGIC" default from the two references (de.py:36-38).
-            g0 = 2.38 / jnp.sqrt(2.0 * ndim)
+            g0 = 2.38 / jnp.sqrt(2.0 * model.global_ndim(ndim))
 
         key_i, key_j, key_g = jax.random.split(key, 3)
-        i = jax.random.randint(key_i, (ns,), 0, nc)
-        j = jax.random.randint(key_j, (ns,), 0, nc - 1)
-        j = jnp.where(j >= i, j + 1, j)  # uniform over ordered pairs, i != j
-        diffs = c[j] - c[i]
+        if self.pair_mode == "roll":
+            # Contiguous pairing (see StretchMove.pair_mode): two distinct
+            # random shifts give c[(i+s1)%nc] - c[(i+s2)%nc] with the pair
+            # members always distinct — no gather in the hot loop.
+            s1 = jax.random.randint(key_i, (), 0, nc)
+            d = jax.random.randint(key_j, (), 1, nc)
+            s2 = (s1 + d) % nc
+            diffs = (
+                jnp.roll(c, -s2, axis=0)[:ns] - jnp.roll(c, -s1, axis=0)[:ns]
+            )
+        else:
+            i = jax.random.randint(key_i, (ns,), 0, nc)
+            j = jax.random.randint(key_j, (ns,), 0, nc - 1)
+            # uniform over ordered pairs, i != j
+            j = jnp.where(j >= i, j + 1, j)
+            diffs = c[j] - c[i]
         gamma = g0 * (
             1.0 + self.sigma * jax.random.normal(key_g, (ns, 1), dtype=s.dtype)
         )

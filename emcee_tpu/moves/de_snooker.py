@@ -39,7 +39,7 @@ class DESnookerMove(RedBlueMove):
         kwargs["nsplits"] = 4
         super().__init__(**kwargs)
 
-    def get_proposal(self, key, s, c_parts):
+    def get_proposal(self, key, s, c_parts, model):
         ns, ndim = s.shape
         keys = jax.random.split(key, 4)
         # One uniformly random member of each complementary group per walker.
@@ -56,10 +56,17 @@ class DESnookerMove(RedBlueMove):
         w = jnp.take_along_axis(w, order[:, :, None], axis=1)
         z, z1, z2 = w[:, 0], w[:, 1], w[:, 2]
 
+        # All dim-reductions psum over parameter shards (no-ops otherwise);
+        # the random index draws above use walker-folded keys, so every
+        # parameter shard picks the same partners.
         delta = s - z
-        norm = jnp.linalg.norm(delta, axis=-1)
+        norm2 = model.psum_params(jnp.sum(delta**2, axis=-1))
+        norm = jnp.sqrt(norm2)
         u = delta / norm[:, None]
-        proj = jnp.einsum("ij,ij->i", u, z1) - jnp.einsum("ij,ij->i", u, z2)
+        proj = model.psum_params(
+            jnp.einsum("ij,ij->i", u, z1)
+        ) - model.psum_params(jnp.einsum("ij,ij->i", u, z2))
         q = s + u * (self.gammas * proj)[:, None]
-        metropolis = jnp.log(jnp.linalg.norm(q - z, axis=-1)) - jnp.log(norm)
-        return q, (ndim - 1.0) * metropolis
+        qz2 = model.psum_params(jnp.sum((q - z) ** 2, axis=-1))
+        metropolis = 0.5 * jnp.log(qz2) - jnp.log(norm)
+        return q, (model.global_ndim(ndim) - 1.0) * metropolis

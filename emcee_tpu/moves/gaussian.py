@@ -72,6 +72,14 @@ class GaussianMove(MHMove):
         self._log_factor = None if factor is None else np.log(factor)
         self.mode = mode
         super().__init__(self._make_proposal(), ndim=ndim)
+        # Only the isotropic whole-vector update is well-defined when the
+        # parameter axis is sharded (diag/full scales and dim-masks would
+        # need the global dim index).
+        self._param_shard_ok = (
+            mode == "vector"
+            and self._full_cov is None
+            and np.ndim(self._scale) == 0
+        )
 
     def init_carry(self, nwalkers, ndim):
         if self.mode == "sequential":

@@ -49,7 +49,13 @@ class KDEMove(RedBlueMove):
             return (nc * (d + 2) / 4.0) ** (-1.0 / (d + 4))
         return float(self.bw_method)
 
-    def get_proposal(self, key, s, c_parts):
+    def get_proposal(self, key, s, c_parts, model):
+        if model.param_axis is not None:
+            raise NotImplementedError(
+                "KDEMove does not support parameter-axis sharding (its "
+                "covariance couples all dimensions); use Stretch/DE/"
+                "Snooker/Gaussian moves for long-ndim runs"
+            )
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         k_sub, k_pick, k_noise = jax.random.split(key, 3)

@@ -45,16 +45,27 @@ class MHMove(Move):
             nparams = 2
         self._carries = nparams >= 3
 
+    # Subclasses coupling dimensions (full-cov Gaussian, random/sequential
+    # dim selection) set this False; checked under parameter sharding.
+    _param_shard_ok = True
+
     def propose(self, key, state, model, carry):
         nwalkers, ndim = state.coords.shape
-        if self.ndim is not None and self.ndim != ndim:
+        if self.ndim is not None and model.param_axis is None and (
+            self.ndim != ndim
+        ):
             raise ValueError("Dimension mismatch in proposal")
+        if model.param_axis is not None and not self._param_shard_ok:
+            raise NotImplementedError(
+                "this proposal couples parameter dimensions and does not "
+                "support parameter-axis sharding"
+            )
 
         key_prop, key_acc = jax.random.split(key)
-        if model.axis_name is not None:
-            shard = jax.lax.axis_index(model.axis_name)
-            key_prop = jax.random.fold_in(key_prop, shard)
-            key_acc = jax.random.fold_in(key_acc, shard)
+        # Proposal noise differs per parameter shard (each holds different
+        # dims); accept uniforms must be identical across parameter shards.
+        key_prop = model.fold_param(model.fold_walker(key_prop))
+        key_acc = model.fold_walker(key_acc)
 
         if self._carries:
             q, factors, carry = self.get_proposal(

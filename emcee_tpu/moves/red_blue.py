@@ -8,22 +8,29 @@ Mackey et al. 2013, Algorithm 2) — but the execution model is fused XLA:
 
 * the per-walker Python accept loop (reference ``red_blue.py:96-101``)
   becomes one vectorized ``log U < lnpdiff`` compare;
-* masked scatter of accepted proposals is a gather/`at[].set` pair driven by
-  a key-derived permutation (the reference shuffles an index array with the
-  global MT19937 stream, ``red_blue.py:77-80``);
-* under walker sharding, the permutation is drawn per shard (every shard
-  contributes equally to every split group — statistically equivalent to a
-  global shuffle) and the complementary groups are all-gathered over the
-  mesh axis so each shard proposes against the full global complement.
+* with ``randomize_split=True`` (reference default), group membership is a
+  key-derived permutation applied as a gather (the reference shuffles an
+  index array with the global MT19937 stream, ``red_blue.py:77-80``);
+* with ``randomize_split=False``, the engine takes a pure-reshape fast
+  path: the ensemble is viewed as ``(ng, nsplits, ndim)`` blocks (exactly
+  the reference's ``arange(n) % nsplits`` membership) and group
+  select/update are static strided slices — **no gathers, no scatters, no
+  sort** in the hot loop.  This is the performance configuration: fixed
+  split membership is the original Goodman & Weare (2010) parallel
+  algorithm and preserves detailed balance; the shuffle only decorrelates
+  group assignments.
+* under walker sharding, membership is drawn per shard (every shard
+  contributes equally to every group — statistically equivalent to a
+  global shuffle) and complementary groups are all-gathered over the mesh
+  axis so each shard proposes against the full global complement.
 
 Group shapes are static: ``nwalkers_local`` must divide by ``nsplits``
-(checked at trace time), and groups are the strided slices ``perm[j::
-nsplits]`` matching the reference's ``arange(n) % nsplits`` membership.
+(checked at trace time).
 """
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +46,8 @@ class RedBlueMove(Move):
     Args:
         nsplits: Number of sub-ensembles (reference default 2).
         randomize_split: Shuffle group membership every proposal
-            (reference default True).
+            (reference default True).  ``False`` enables the gather-free
+            blocked fast path.
         live_dangerously: Skip the ``nwalkers >= 2 * ndim`` degeneracy guard
             (reference ``red_blue.py:64-70``).
 
@@ -54,7 +62,9 @@ class RedBlueMove(Move):
         self.randomize_split = bool(randomize_split)
         self.live_dangerously = bool(live_dangerously)
 
-    def get_proposal(self, key, s, c_parts) -> Tuple[jax.Array, jax.Array]:
+    def get_proposal(
+        self, key, s, c_parts, model
+    ) -> Tuple[jax.Array, jax.Array]:
         raise NotImplementedError(
             "The proposal must be implemented by subclasses"
         )
@@ -62,7 +72,7 @@ class RedBlueMove(Move):
     def propose(self, key, state, model, carry):
         nwalkers, ndim = state.coords.shape
         nglobal = model.nwalkers or nwalkers
-        if nglobal < 2 * ndim and not self.live_dangerously:
+        if nglobal < 2 * model.global_ndim(ndim) and not self.live_dangerously:
             raise RuntimeError(
                 "It is unadvisable to use a red-blue move with fewer "
                 "walkers than twice the number of dimensions."
@@ -74,26 +84,57 @@ class RedBlueMove(Move):
             )
         ng = nwalkers // self.nsplits
 
-        key_perm, key = jax.random.split(key)
-        if model.axis_name is not None:
-            # Decorrelate shards; the incoming key is replicated.
-            shard = jax.lax.axis_index(model.axis_name)
-            key = jax.random.fold_in(key, shard)
-            key_perm = jax.random.fold_in(key_perm, shard)
+        # Decorrelate walker shards; per-walker randomness stays identical
+        # across parameter shards (see Model.param_axis).
+        key = model.fold_walker(key)
+        keys = jax.random.split(key, 2 + self.nsplits)
+        key_perm, key_acc, split_keys = keys[0], keys[1], keys[2:]
+        # One fused draw for every split's acceptance uniforms.
+        dtype = state.coords.dtype
+        log_acc_u = jnp.log(
+            jax.random.uniform(key_acc, (self.nsplits, ng), dtype=dtype)
+        )
+
         if self.randomize_split:
-            perm = jax.random.permutation(key_perm, nwalkers)
-        else:
-            perm = jnp.arange(nwalkers)
-        # Strided grouping: group j = perm[j::nsplits] (matches the
-        # reference's `arange(n) % nsplits` membership pattern).
-        groups = perm.reshape(ng, self.nsplits).T  # (nsplits, ng)
+            return self._propose_shuffled(
+                key_perm, split_keys, log_acc_u, state, model, carry, ng
+            )
+        return self._propose_blocked(
+            split_keys, log_acc_u, state, model, carry, ng
+        )
+
+    def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model):
+        """Propose/evaluate/accept for one group; returns selected values."""
+        if model.axis_name is not None:
+            # Each shard proposes against the full global complement.
+            c_parts = tuple(
+                jax.lax.all_gather(c, model.axis_name, axis=0, tiled=True)
+                for c in c_parts
+            )
+        q, factors = self.get_proposal(k, s, c_parts, model)
+        new_lp, new_blobs = model.compute_log_prob(q)
+        lnpdiff = factors + new_lp - lp_s
+        acc = log_u < lnpdiff
+        sel_coords = jnp.where(acc[:, None], q, s)
+        sel_lp = jnp.where(acc, new_lp, lp_s)
+        sel_blobs = blobs_s
+        if new_blobs is not None:
+            sel_blobs = tree_where(acc, new_blobs, blobs_s)
+        return sel_coords, sel_lp, sel_blobs, acc
+
+    def _propose_shuffled(
+        self, key_perm, split_keys, log_acc_u, state, model, carry, ng
+    ):
+        """Reference-faithful path: random membership via permutation."""
+        nwalkers = state.coords.shape[0]
+        perm = jax.random.permutation(key_perm, nwalkers)
+        groups = perm.reshape(ng, self.nsplits).T  # strided grouping
 
         coords = state.coords
         log_prob = state.log_prob
         blobs = state.blobs
         accepted = jnp.zeros(nwalkers, dtype=bool)
 
-        split_keys = jax.random.split(key, 2 * self.nsplits)
         for split in range(self.nsplits):
             idx = groups[split]
             s = coords[idx]
@@ -102,38 +143,97 @@ class RedBlueMove(Move):
                 for j in range(self.nsplits)
                 if j != split
             )
-            if model.axis_name is not None:
-                # Each shard proposes against the full global complement.
-                c_parts = tuple(
-                    jax.lax.all_gather(
-                        c, model.axis_name, axis=0, tiled=True
-                    )
-                    for c in c_parts
-                )
-
-            k_prop = split_keys[2 * split]
-            k_acc = split_keys[2 * split + 1]
-            q, factors = self.get_proposal(k_prop, s, c_parts)
-            new_log_prob, new_blobs = model.compute_log_prob(q)
-
-            lnpdiff = factors + new_log_prob - log_prob[idx]
-            acc = jnp.log(
-                jax.random.uniform(k_acc, (ng,), dtype=lnpdiff.dtype)
-            ) < lnpdiff
-
-            coords = coords.at[idx].set(jnp.where(acc[:, None], q, s))
-            log_prob = log_prob.at[idx].set(
-                jnp.where(acc, new_log_prob, log_prob[idx])
+            blobs_s = (
+                jax.tree_util.tree_map(lambda b: b[idx], blobs)
+                if blobs is not None
+                else None
             )
-            if new_blobs is not None:
-                old_sub = jax.tree_util.tree_map(lambda b: b[idx], blobs)
-                new_sub = tree_where(acc, new_blobs, old_sub)
+            sel_c, sel_lp, sel_b, acc = self._inner(
+                split_keys[split],
+                s,
+                c_parts,
+                log_prob[idx],
+                blobs_s,
+                log_acc_u[split],
+                model,
+            )
+            coords = coords.at[idx].set(sel_c)
+            log_prob = log_prob.at[idx].set(sel_lp)
+            if sel_b is not None:
+                if blobs is None:
+                    raise ValueError(
+                        "If you start sampling with a given log_prob, you "
+                        "also need to provide the current list of blobs at "
+                        "that position."
+                    )
                 blobs = jax.tree_util.tree_map(
-                    lambda b, n: b.at[idx].set(n), blobs, new_sub
+                    lambda b, n: b.at[idx].set(n), blobs, sel_b
                 )
             accepted = accepted.at[idx].set(acc)
 
-        new_state = state._replace(
-            coords=coords, log_prob=log_prob, blobs=blobs
+        return (
+            state._replace(coords=coords, log_prob=log_prob, blobs=blobs),
+            accepted,
+            carry,
         )
-        return new_state, accepted, carry
+
+    def _propose_blocked(
+        self, split_keys, log_acc_u, state, model, carry, ng
+    ):
+        """Gather-free path: fixed ``i % nsplits`` membership as reshapes."""
+        nwalkers, ndim = state.coords.shape
+        ns = self.nsplits
+        blocks = state.coords.reshape(ng, ns, ndim)
+        lpb = state.log_prob.reshape(ng, ns)
+        blobs = state.blobs
+        if blobs is not None:
+            blobs = jax.tree_util.tree_map(
+                lambda b: b.reshape((ng, ns) + b.shape[1:]), blobs
+            )
+        acc_blocks = jnp.zeros((ng, ns), dtype=bool)
+
+        for split in range(ns):
+            s = blocks[:, split]
+            c_parts = tuple(
+                blocks[:, j] for j in range(ns) if j != split
+            )
+            blobs_s = (
+                jax.tree_util.tree_map(lambda b: b[:, split], blobs)
+                if blobs is not None
+                else None
+            )
+            sel_c, sel_lp, sel_b, acc = self._inner(
+                split_keys[split],
+                s,
+                c_parts,
+                lpb[:, split],
+                blobs_s,
+                log_acc_u[split],
+                model,
+            )
+            blocks = blocks.at[:, split].set(sel_c)
+            lpb = lpb.at[:, split].set(sel_lp)
+            if sel_b is not None:
+                if blobs is None:
+                    raise ValueError(
+                        "If you start sampling with a given log_prob, you "
+                        "also need to provide the current list of blobs at "
+                        "that position."
+                    )
+                blobs = jax.tree_util.tree_map(
+                    lambda b, n: b.at[:, split].set(n), blobs, sel_b
+                )
+            acc_blocks = acc_blocks.at[:, split].set(acc)
+
+        new_state = state._replace(
+            coords=blocks.reshape(nwalkers, ndim),
+            log_prob=lpb.reshape(nwalkers),
+            blobs=(
+                jax.tree_util.tree_map(
+                    lambda b: b.reshape((nwalkers,) + b.shape[2:]), blobs
+                )
+                if blobs is not None
+                else None
+            ),
+        )
+        return new_state, acc_blocks.reshape(nwalkers), carry

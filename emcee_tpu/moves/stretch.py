@@ -27,21 +27,38 @@ class StretchMove(RedBlueMove):
 
     Args:
         a: stretch scale parameter (default 2.0, reference ``stretch.py:22``).
+        pair_mode: how each walker picks its complement partner.
+            ``"random"`` (default, reference-faithful): an independent
+            uniform partner per walker — a random-index row gather.
+            ``"roll"``: partner ``c[(i + shift) % nc]`` with one uniform
+            random shift per half-step — a contiguous circular shift, no
+            gather.  The partner choice is exogenous randomness independent
+            of the chain state, so detailed balance is preserved; marginally
+            each partner is still uniform over the complement.  This is the
+            TPU performance configuration (random-row gathers are
+            latency-bound on TPU).
     """
 
-    def __init__(self, a=2.0, **kwargs):
+    def __init__(self, a=2.0, pair_mode="random", **kwargs):
         self.a = float(a)
+        if pair_mode not in ("random", "roll"):
+            raise ValueError(f"unknown pair_mode: {pair_mode!r}")
+        self.pair_mode = pair_mode
         super().__init__(**kwargs)
 
-    def get_proposal(self, key, s, c_parts):
+    def get_proposal(self, key, s, c_parts, model):
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]
         key_z, key_r = jax.random.split(key)
         u = jax.random.uniform(key_z, (ns,), dtype=s.dtype)
         zz = ((self.a - 1.0) * u + 1.0) ** 2 / self.a
-        factors = (ndim - 1.0) * jnp.log(zz)
-        rint = jax.random.randint(key_r, (ns,), 0, nc)
-        cr = c[rint]
+        factors = (model.global_ndim(ndim) - 1.0) * jnp.log(zz)
+        if self.pair_mode == "roll":
+            shift = jax.random.randint(key_r, (), 0, nc)
+            cr = jnp.roll(c, -shift, axis=0)[:ns]
+        else:
+            rint = jax.random.randint(key_r, (ns,), 0, nc)
+            cr = c[rint]
         q = cr - (cr - s) * zz[:, None]
         return q, factors

@@ -44,7 +44,13 @@ class WalkMove(RedBlueMove):
         self.s = s
         super().__init__(**kwargs)
 
-    def get_proposal(self, key, s, c_parts):
+    def get_proposal(self, key, s, c_parts, model):
+        if model.param_axis is not None:
+            raise NotImplementedError(
+                "WalkMove does not support parameter-axis sharding (its "
+                "covariance couples all dimensions); use Stretch/DE/"
+                "Snooker/Gaussian moves for long-ndim runs"
+            )
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]

@@ -113,10 +113,13 @@ class EnsembleSampler:
         blobs_dtype=None,
         parameter_names=None,
         seed=0,
+        prng: Optional[str] = None,
         mesh: Optional[Mesh] = None,
         walker_axis: str = "walkers",
+        param_axis: Optional[str] = None,
         host_callback: bool = False,
         io_chunk_bytes: int = 1 << 27,
+        scan_unroll: int = 4,
     ):
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
@@ -153,7 +156,13 @@ class EnsembleSampler:
 
         self.mesh = mesh
         self.walker_axis = walker_axis
+        self.param_axis = param_axis
         self._axis_name = walker_axis if mesh is not None else None
+        self._param_axis = (
+            param_axis if (mesh is not None and param_axis) else None
+        )
+        if param_axis is not None and mesh is None:
+            raise ValueError("param_axis requires a mesh")
         if mesh is not None:
             n_shards = mesh.shape[walker_axis]
             if self.nwalkers % n_shards != 0:
@@ -161,13 +170,30 @@ class EnsembleSampler:
                     f"nwalkers ({self.nwalkers}) must be divisible by the "
                     f"mesh '{walker_axis}' axis size ({n_shards})"
                 )
+            if self._param_axis is not None:
+                p_shards = mesh.shape[self._param_axis]
+                if self.ndim % p_shards != 0:
+                    raise ValueError(
+                        f"ndim ({self.ndim}) must be divisible by the mesh "
+                        f"'{self._param_axis}' axis size ({p_shards})"
+                    )
 
         if isinstance(seed, (int, np.integer)):
-            self._key = jax.random.key(seed)
+            # prng="rbg" uses the TPU hardware RNG path — substantially
+            # cheaper per draw than threefry inside the chain step.
+            self._key = (
+                jax.random.key(seed, impl=prng)
+                if prng is not None
+                else jax.random.key(seed)
+            )
         else:
             self._key = seed
 
         self._io_chunk_bytes = int(io_chunk_bytes)
+        # lax.scan while-loop iterations carry a fixed runtime overhead;
+        # unrolling amortizes it (measured ~55us/iteration floor on v5e
+        # via the remote runtime — dominant for small ensembles).
+        self._scan_unroll = int(scan_unroll)
 
         # Canonical batched log-prob.
         self.log_prob_fn = log_prob_fn
@@ -179,10 +205,31 @@ class EnsembleSampler:
             parameter_names=parameter_names,
             host_callback=host_callback,
         )
+        if self._param_axis is not None:
+            # Long-ndim mode: the user log-prob computes a shard-local
+            # partial sum over its parameter block; psum completes it
+            # (the "sequence parallelism" analogue — SURVEY §5).
+            base_fn = self._compute_log_prob
+            paxis = self._param_axis
+
+            def _sharded_log_prob(q):
+                lp, blobs = base_fn(q)
+                if blobs is not None:
+                    raise NotImplementedError(
+                        "blobs are not supported with parameter-axis "
+                        "sharding"
+                    )
+                return jax.lax.psum(lp, paxis), None
+
+            model_log_prob = _sharded_log_prob
+        else:
+            model_log_prob = self._compute_log_prob
         self._model = Model(
-            compute_log_prob=self._compute_log_prob,
+            compute_log_prob=model_log_prob,
             axis_name=self._axis_name,
             nwalkers=self.nwalkers,
+            param_axis=self._param_axis,
+            ndim=self.ndim,
         )
 
         # Resume from a non-empty backend (reference ensemble.py:139-162).
@@ -221,7 +268,24 @@ class EnsembleSampler:
         return self.get_value("log_prob", **kwargs)
 
     def get_blobs(self, **kwargs):
-        return self.get_value("blobs", **kwargs)
+        blobs = self.get_value("blobs", **kwargs)
+        if blobs is None or self.blobs_dtype is None:
+            return blobs
+        # Named blobs (reference ``blobs_dtype``, docs/user/blobs.rst):
+        # pack the blob pytree leaves into a structured array whose fields
+        # follow the declared [(name, dtype), ...] order.
+        dtype = np.dtype(self.blobs_dtype)
+        leaves = jax.tree_util.tree_leaves(blobs)
+        if len(leaves) != len(dtype.names):
+            raise ValueError(
+                f"blobs_dtype declares {len(dtype.names)} fields but the "
+                f"log-prob returns {len(leaves)} blobs"
+            )
+        lead = leaves[0].shape[:2] if leaves[0].ndim >= 2 else leaves[0].shape
+        out = np.empty(lead, dtype=dtype)
+        for name, leaf in zip(dtype.names, leaves):
+            out[name] = leaf
+        return out
 
     def get_value(self, name, **kwargs):
         return self.backend.get_value(name, **kwargs)
@@ -334,7 +398,11 @@ class EnsembleSampler:
         def kept_step(carry, _):
             if thin_by > 1:
                 carry, _ = jax.lax.scan(
-                    inner, carry, None, length=thin_by - 1
+                    inner,
+                    carry,
+                    None,
+                    length=thin_by - 1,
+                    unroll=min(self._scan_unroll, thin_by - 1),
                 )
             state, carries = carry
             state, accepted, carries = step(state, carries)
@@ -346,7 +414,11 @@ class EnsembleSampler:
 
         def chunk(state, carries):
             (state, carries), outs = jax.lax.scan(
-                kept_step, (state, carries), None, length=nkeep
+                kept_step,
+                (state, carries),
+                None,
+                length=nkeep,
+                unroll=min(self._scan_unroll, nkeep),
             )
             return state, carries, outs
 
@@ -355,7 +427,7 @@ class EnsembleSampler:
             pw = P(ax)
             pr = P()
             state_spec = State(
-                coords=P(ax, None),
+                coords=P(ax, self._param_axis),
                 log_prob=pw,
                 random_state=pr,
                 blobs=self._blob_partition_tree(blobs_struct, pw),
@@ -365,7 +437,7 @@ class EnsembleSampler:
             )
             if store:
                 out_spec = (
-                    P(None, ax, None),
+                    P(None, ax, self._param_axis),
                     P(None, ax),
                     self._blob_partition_tree(blobs_struct, P(None, ax)),
                     P(None, ax),
@@ -389,7 +461,7 @@ class EnsembleSampler:
             return state
         ax = self.walker_axis
         shardings = State(
-            coords=NamedSharding(self.mesh, P(ax, None)),
+            coords=NamedSharding(self.mesh, P(ax, self._param_axis)),
             log_prob=NamedSharding(self.mesh, P(ax)),
             random_state=NamedSharding(self.mesh, P()),
             blobs=self._blob_partition_tree(

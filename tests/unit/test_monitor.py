@@ -1,0 +1,44 @@
+"""Convergence-monitor tests (the reference monitor-tutorial pattern)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emcee_tpu import ConvergenceMonitor, EnsembleSampler, run_until_converged
+
+
+def normal_log_prob(params):
+    return -0.5 * jnp.sum(params**2)
+
+
+def test_run_until_converged():
+    nwalkers, ndim = 32, 2
+    sampler = EnsembleSampler(nwalkers, ndim, normal_log_prob, seed=0)
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(0), (nwalkers, ndim))
+    )
+    monitor = ConvergenceMonitor(tau_factor=50.0, dtau_rel=0.05)
+    state, monitor = run_until_converged(
+        sampler,
+        coords,
+        max_steps=20_000,
+        check_every=2_000,
+        monitor=monitor,
+    )
+    assert monitor.tau is not None
+    # Converged: chain length exceeded tau_factor * tau.
+    assert np.all(monitor.tau * 50.0 < sampler.iteration)
+    # And the posterior is right.
+    chain = sampler.get_chain(
+        flat=True, discard=int(3 * monitor.tau.max())
+    )
+    assert np.all(np.abs(chain.mean(0)) < 0.1)
+
+
+def test_monitor_not_converged_short():
+    monitor = ConvergenceMonitor(tau_factor=100.0)
+    rng = np.random.default_rng(0)
+    # A strongly autocorrelated short chain cannot converge.
+    n = 200
+    x = np.cumsum(rng.normal(size=(n, 4, 2)), axis=0)
+    assert not monitor.update(x)

@@ -1,0 +1,110 @@
+"""Parameter-axis sharding tests (BASELINE.json workload 5 coverage).
+
+Long-ndim mode: coords shard over a 2-D (walkers, params) mesh, the user
+log-prob computes shard-local partial sums, and the framework completes
+them with a psum over the parameter axis.  Red-blue proposals keep
+per-walker randomness identical across parameter shards so every shard
+proposes/accepts consistently without extra communication.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from emcee_tpu import EnsembleSampler, moves
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices"
+)
+
+
+def partial_normal_log_prob(x):
+    # Shard-local partial sum over the local parameter block.
+    return -0.5 * jnp.sum(x**2, axis=-1)
+
+
+def make_mesh(wshards=2, pshards=4):
+    devs = np.array(jax.devices()[: wshards * pshards]).reshape(
+        wshards, pshards
+    )
+    return Mesh(devs, ("walkers", "params"))
+
+
+def _run(move, nwalkers=64, ndim=8, nsteps=800, seed=0):
+    mesh = make_mesh()
+    sampler = EnsembleSampler(
+        nwalkers,
+        ndim,
+        partial_normal_log_prob,
+        moves=move,
+        vectorize=True,
+        seed=seed,
+        mesh=mesh,
+        param_axis="params",
+    )
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(seed), (nwalkers, ndim))
+    )
+    sampler.run_mcmc(coords, nsteps)
+    return sampler
+
+
+@pytest.mark.parametrize(
+    "move",
+    [
+        moves.StretchMove(),
+        moves.StretchMove(randomize_split=False),
+        moves.DEMove(),
+        moves.DESnookerMove(),
+        moves.GaussianMove(0.5),
+    ],
+    ids=["stretch", "stretch-blocked", "de", "snooker", "gaussian"],
+)
+def test_param_sharded_statistics(move):
+    sampler = _run(move, nsteps=1200)
+    chain = np.asarray(sampler.get_chain(flat=True, discard=400))
+    assert np.all(np.abs(chain.mean(0)) < 0.12)
+    assert np.all(np.abs(chain.std(0) - 1) < 0.1)
+    acc = sampler.acceptance_fraction
+    assert np.all((acc > 0.05) & (acc < 0.95))
+
+
+def test_param_sharded_log_prob_is_global():
+    """Stored log_prob must be the full sum, not a shard partial."""
+    sampler = _run(moves.StretchMove(), nsteps=20)
+    chain = np.asarray(sampler.get_chain())
+    lp = np.asarray(sampler.get_log_prob())
+    np.testing.assert_allclose(
+        lp, -0.5 * np.sum(chain**2, axis=-1), rtol=1e-4
+    )
+
+
+def test_param_sharded_unsupported_moves_raise():
+    with pytest.raises(Exception):
+        _run(moves.WalkMove(), nsteps=2)
+    with pytest.raises(Exception):
+        _run(moves.KDEMove(), nsteps=2)
+    with pytest.raises(Exception):
+        _run(moves.GaussianMove(0.5, mode="random"), nsteps=2)
+
+
+def test_param_axis_requires_mesh():
+    with pytest.raises(ValueError):
+        EnsembleSampler(
+            8, 2, partial_normal_log_prob, param_axis="params", seed=0
+        )
+
+
+def test_ndim_divisibility():
+    mesh = make_mesh()
+    with pytest.raises(ValueError):
+        EnsembleSampler(
+            64,
+            7,
+            partial_normal_log_prob,
+            mesh=mesh,
+            param_axis="params",
+            seed=0,
+        )
