@@ -39,12 +39,58 @@ class StretchMove(RedBlueMove):
             latency-bound on TPU).
     """
 
-    def __init__(self, a=2.0, pair_mode="random", **kwargs):
+    def __init__(self, a=2.0, pair_mode="random", engine="xla", **kwargs):
         self.a = float(a)
         if pair_mode not in ("random", "roll"):
             raise ValueError(f"unknown pair_mode: {pair_mode!r}")
+        if engine not in ("xla", "pallas"):
+            raise ValueError(f"unknown engine: {engine!r}")
         self.pair_mode = pair_mode
+        self.engine = engine
         super().__init__(**kwargs)
+
+    def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model):
+        """Dispatch to the fused Pallas half-step when selected.
+
+        The Pallas engine runs the whole half-step (z-draw, roll pairing,
+        proposal, inlined log-prob, accept, select) as one VMEM-resident
+        kernel — see ``ops/stretch_kernel.py``.  Falls back to the generic
+        XLA path for blobbed runs or parameter sharding.
+        """
+        if (
+            self.engine != "pallas"
+            or blobs_s is not None
+            or model.param_axis is not None
+        ):
+            return super()._inner(k, s, c_parts, lp_s, blobs_s, log_u, model)
+
+        from ..ops.stretch_kernel import fused_stretch_half_step
+
+        if model.axis_name is not None:
+            c_parts = tuple(
+                jax.lax.all_gather(c, model.axis_name, axis=0, tiled=True)
+                for c in c_parts
+            )
+        c = jnp.concatenate(c_parts, axis=0)
+        key_z, key_r = jax.random.split(k)
+        u_z = jax.random.uniform(key_z, (s.shape[0],), dtype=s.dtype)
+        shift = jax.random.randint(key_r, (), 0, c.shape[0])
+
+        def lp_fn(q):
+            return model.compute_log_prob(q)[0]
+
+        sel_c, sel_lp, acc = fused_stretch_half_step(
+            shift,
+            s,
+            c,
+            lp_s,
+            u_z,
+            log_u,
+            log_prob_fn=lp_fn,
+            a=self.a,
+            gndim=model.global_ndim(s.shape[1]),
+        )
+        return sel_c, sel_lp, None, acc
 
     def get_proposal(self, key, s, c_parts, model):
         c = jnp.concatenate(c_parts, axis=0)
