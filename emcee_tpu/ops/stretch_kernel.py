@@ -44,30 +44,39 @@ def _on_tpu() -> bool:
 
 
 def _kernel(a, gndim, log_prob_fn, shift_ref, s_ref, c_ref, lp_ref,
-            u_ref, logu_ref, out_c_ref, out_lp_ref, acc_ref):
+            u_ref, logu_ref, out_c_ref, out_lp_ref, acc_ref, cc_ref):
     s = s_ref[:]
     c = c_ref[:]
     ng, nd = s.shape
+    nc = c.shape[0]
 
     # z ~ g(z) propto 1/sqrt(z) on [1/a, a] via inverse CDF.
     zz = ((a - 1.0) * u_ref[:] + 1.0) ** 2 / a  # (ng,)
     factors = (gndim - 1.0) * jnp.log(zz)
 
-    # Partner via circular shift: static-size dynamic slice of the doubled
-    # complement (wrap-around roll).
+    # Partner via circular shift: double the complement into VMEM scratch,
+    # then a dynamic *ref* read (pl.ds) gives the wrap-around roll — value-
+    # level dynamic_slice has no Mosaic lowering.
     shift = shift_ref[0]
-    cc = jnp.concatenate([c, c], axis=0)
-    cr = jax.lax.dynamic_slice(cc, (shift, 0), (ng, nd))
+    cc_ref[0:nc, :] = c
+    cc_ref[nc : 2 * nc, :] = c
+    cr = cc_ref[pl.ds(shift, ng), :]
 
     q = cr - (cr - s) * zz[:, None].astype(s.dtype)
 
     new_lp = log_prob_fn(q)  # user code, inlined into the kernel
     lnpdiff = factors + new_lp - lp_ref[:]
-    acc = logu_ref[:] < lnpdiff
+    # Arithmetic select: Mosaic cannot reshape/broadcast 1-bit vectors
+    # across the minor dim, so carry the accept mask as f32.  NaN/inf
+    # proposals are always rejected (NaN compare is false), and the
+    # nan_to_num keeps 0 * NaN from poisoning the blend.
+    accf = (logu_ref[:] < lnpdiff).astype(jnp.float32)
+    q_safe = jnp.nan_to_num(q)
+    lp_safe = jnp.nan_to_num(new_lp)
 
-    out_c_ref[:] = jnp.where(acc[:, None], q, s)
-    out_lp_ref[:] = jnp.where(acc, new_lp, lp_ref[:])
-    acc_ref[:] = acc.astype(jnp.int8)
+    out_c_ref[:] = q_safe * accf[:, None] + s * (1.0 - accf[:, None])
+    out_lp_ref[:] = lp_safe * accf + lp_ref[:] * (1.0 - accf)
+    acc_ref[:] = accf.astype(jnp.int8)
 
 
 def fused_stretch_half_step(
@@ -116,6 +125,7 @@ def fused_stretch_half_step(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((2 * c.shape[0], ndim), c.dtype)],
         interpret=interpret,
     )(jnp.asarray(shift, jnp.int32).reshape(1), s, c, lp_s, u_z, log_u)
     return out_c, out_lp, acc.astype(bool)
