@@ -1,0 +1,130 @@
+"""Cross-validation against the reference emcee implementation.
+
+Gated on the reference checkout being present (developer environments
+only).  Uses reference emcee purely as a *test oracle*: run both samplers
+on the same workload and require statistically indistinguishable
+posteriors, and check HDF5 file interop in both directions.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference/src"
+emcee = None
+if os.path.isdir(REF):
+    sys.path.insert(0, REF)
+    # The checkout lacks the setuptools_scm-generated version module the
+    # package imports; stub it (read-only mount, cannot be generated).
+    import types
+
+    vmod = types.ModuleType("emcee.emcee_version")
+    vmod.version = vmod.__version__ = "0.0.0-reference-checkout"
+    sys.modules["emcee.emcee_version"] = vmod
+    try:
+        import emcee  # noqa: F401
+    except Exception:
+        emcee = None
+
+import emcee_tpu
+
+pytestmark = pytest.mark.skipif(
+    emcee is None, reason="reference emcee not available"
+)
+
+
+def test_posterior_matches_reference():
+    """Both samplers on a 3D correlated Gaussian: same moments within MC error."""
+    ndim, nwalkers, nsteps = 3, 32, 4000
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(ndim, ndim)) / np.sqrt(ndim)
+    cov = A @ A.T + 0.5 * np.eye(ndim)
+    icov = np.linalg.inv(cov)
+
+    def np_log_prob(x):
+        return -0.5 * x @ icov @ x
+
+    icov_j = jnp.asarray(icov, dtype=jnp.float32)
+
+    def jx_log_prob(x):
+        return -0.5 * x @ icov_j @ x
+
+    p0 = rng.normal(size=(nwalkers, ndim))
+
+    ref = emcee.EnsembleSampler(nwalkers, ndim, np_log_prob)
+    ref.run_mcmc(p0, nsteps, progress=False)
+    ref_flat = ref.get_chain(flat=True, discard=1000)
+
+    ours = emcee_tpu.EnsembleSampler(nwalkers, ndim, jx_log_prob, seed=3)
+    ours.run_mcmc(p0, nsteps)
+    our_flat = np.asarray(ours.get_chain(flat=True, discard=1000))
+
+    # Means agree within combined MC error; covariances within 15%.
+    se = np.sqrt(np.diag(cov)) * 0.08
+    assert np.all(np.abs(ref_flat.mean(0) - our_flat.mean(0)) < 4 * se)
+    ref_cov = np.cov(ref_flat, rowvar=False)
+    our_cov = np.cov(our_flat, rowvar=False)
+    err = np.linalg.norm(ref_cov - our_cov) / np.linalg.norm(ref_cov)
+    assert err < 0.15, f"covariance mismatch {err:.3f}"
+
+    # Integrated autocorrelation times in the same ballpark.
+    ref_tau = emcee.autocorr.integrated_time(
+        ref.get_chain(), quiet=True
+    )
+    our_tau = ours.get_autocorr_time(quiet=True)
+    assert np.all(np.abs(ref_tau - our_tau) / ref_tau < 0.5)
+
+
+def test_reference_reads_our_hdf(tmp_path):
+    """A chain written by our HDFBackend must load through emcee's reader."""
+
+    def jx_log_prob(x):
+        return -0.5 * jnp.sum(x**2)
+
+    fn = str(tmp_path / "ours.h5")
+    be = emcee_tpu.backends.HDFBackend(fn)
+    s = emcee_tpu.EnsembleSampler(16, 2, jx_log_prob, backend=be, seed=0)
+    p0 = np.random.default_rng(1).normal(size=(16, 2))
+    s.run_mcmc(p0, 50)
+
+    ref_reader = emcee.backends.HDFBackend(fn, read_only=True)
+    assert ref_reader.iteration == 50
+    assert ref_reader.shape == (16, 2)
+    np.testing.assert_allclose(
+        np.asarray(ref_reader.get_chain()), np.asarray(s.get_chain())
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_reader.get_log_prob()),
+        np.asarray(s.get_log_prob()),
+    )
+    np.testing.assert_array_equal(
+        ref_reader.accepted, s.backend.accepted
+    )
+
+
+def test_we_read_reference_hdf(tmp_path):
+    """A chain written by reference emcee must load through our backend."""
+
+    def np_log_prob(x):
+        return -0.5 * np.sum(x**2)
+
+    fn = str(tmp_path / "ref.h5")
+    be = emcee.backends.HDFBackend(fn)
+    s = emcee.EnsembleSampler(16, 2, np_log_prob, backend=be)
+    p0 = np.random.default_rng(1).normal(size=(16, 2))
+    s.run_mcmc(p0, 50, progress=False)
+
+    ours = emcee_tpu.backends.HDFBackend(fn)
+    assert ours.initialized
+    assert ours.iteration == 50
+    np.testing.assert_allclose(
+        np.asarray(ours.get_chain()), s.get_chain()
+    )
+    last = ours.get_last_sample()
+    np.testing.assert_allclose(
+        np.asarray(last.coords), s.get_last_sample().coords
+    )
