@@ -17,20 +17,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from emcee_tpu import EnsembleSampler, State, moves
+from emcee_tpu import EnsembleSampler, State
+from emcee_tpu import moves
 
 BASELINE_WALKER_STEPS_PER_SEC = 140.0 * 32.0  # reference monitor.ipynb anchor
 
 
 def main():
     nwalkers, ndim = 100_000, 5
-    nsteps_warm, nsteps = 4, 64
+    nsteps = 128
 
     def log_prob(x):
         return -0.5 * jnp.sum(x**2, axis=-1)
 
+    # Performance configuration (see docs/performance.md): fixed-split
+    # blocked engine (gather/sort-free, the original Goodman & Weare
+    # parallel algorithm) + scan unrolling.  Statistical correctness of
+    # this configuration is enforced by the integration test suite.
     sampler = EnsembleSampler(
-        nwalkers, ndim, log_prob, vectorize=True, seed=0
+        nwalkers,
+        ndim,
+        log_prob,
+        vectorize=True,
+        seed=0,
+        moves=moves.StretchMove(randomize_split=False),
+        scan_unroll=16,
     )
     coords = jax.random.normal(jax.random.key(1), (nwalkers, ndim))
     state = sampler._prepare_state(
@@ -38,21 +49,22 @@ def main():
     )
     carries = sampler._init_carries()
 
-    run = sampler._get_run_chunk(nsteps_warm, 1, False, False, None)
-    st, c, _ = run(state, carries)
-    jax.block_until_ready(st.coords)
-
     run = sampler._get_run_chunk(nsteps, 1, False, False, None)
-    # Warm the timed-shape compile too.
     st, c, _ = run(state, carries)
-    jax.block_until_ready(st.coords)
+    np.asarray(st.coords)  # forced fetch: block_until_ready can return
+    # early on the tunneled runtime, so always sync via a value fetch.
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         st, c, _ = run(st, c)
-    jax.block_until_ready(st.coords)
+    np.asarray(st.coords)
     dt = time.perf_counter() - t0
+
+    # Sanity: the chain must actually be sampling (acceptance ~0.5-0.6
+    # for a=2 stretch on a Gaussian; mean log-prob ~ -ndim/2).
+    mean_lp = float(jnp.mean(st.log_prob))
+    assert -0.7 * ndim < mean_lp < -0.3 * ndim, mean_lp
 
     steps_per_sec = reps * nsteps / dt
     walker_steps_per_sec = steps_per_sec * nwalkers

@@ -1,0 +1,307 @@
+"""Backends for parallel-tempered chains.
+
+The reference has no tempered storage (PTSampler was removed in v3);
+these extend the chain-store contract to the ``(ntemps, nwalkers)`` ladder:
+chain ``(it, T, nw, nd)``, per-rung ``log_like``/``log_prior``, cumulative
+``accepted (T, nw)``, pair-swap counters, and the PRNG key — giving
+tempered runs the same crash-resume story as :class:`..backends.Backend`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..state import State  # noqa: F401  (re-export convenience)
+from .backend import _key_data, _wrap_key
+
+try:
+    import h5py
+except ImportError:
+    h5py = None
+
+__all__ = ["PTBackend", "PTHDFBackend"]
+
+
+class PTBackend:
+    """In-memory store for parallel-tempered chains."""
+
+    def __init__(self, dtype=None):
+        self.initialized = False
+        self.dtype = dtype or np.float64
+
+    def reset(self, ntemps, nwalkers, ndim):
+        self.ntemps = int(ntemps)
+        self.nwalkers = int(nwalkers)
+        self.ndim = int(ndim)
+        self.iteration = 0
+        self._size = 0
+        self.chain = None
+        self.log_like = None
+        self.log_prior = None
+        self.accepted = np.zeros((self.ntemps, self.nwalkers), np.int64)
+        self.swaps_accepted = np.zeros(max(self.ntemps - 1, 1), np.int64)
+        self.swaps_proposed = np.zeros(max(self.ntemps - 1, 1), np.int64)
+        self.random_state = None
+        self.betas = None
+        self.initialized = True
+
+    @property
+    def shape(self):
+        return (self.ntemps, self.nwalkers, self.ndim)
+
+    def grow(self, ngrow):
+        self._size = self.iteration + int(ngrow)
+
+        def grown(arr, shape, dt):
+            new = np.empty((self._size,) + shape, dtype=dt)
+            if arr is not None:
+                new[: self.iteration] = arr[: self.iteration]
+            return new
+
+        T, nw, nd = self.ntemps, self.nwalkers, self.ndim
+        self.chain = grown(self.chain, (T, nw, nd), self.dtype)
+        self.log_like = grown(self.log_like, (T, nw), self.dtype)
+        self.log_prior = grown(self.log_prior, (T, nw), self.dtype)
+
+    def save_chunk(
+        self,
+        coords,
+        log_like,
+        log_prior,
+        accepted,
+        swaps_accepted,
+        swaps_proposed,
+        random_state,
+        betas,
+    ):
+        coords = np.asarray(coords)
+        k = coords.shape[0]
+        if self.chain is None or self.iteration + k > self._size:
+            self.grow(k)
+        i = self.iteration
+        self.chain[i : i + k] = coords
+        self.log_like[i : i + k] = np.asarray(log_like)
+        self.log_prior[i : i + k] = np.asarray(log_prior)
+        self.accepted += np.asarray(accepted).sum(axis=0)
+        self.swaps_accepted = np.asarray(swaps_accepted)
+        self.swaps_proposed = np.asarray(swaps_proposed)
+        self.iteration += k
+        self.random_state = _key_data(random_state)
+        self.betas = np.asarray(betas)
+
+    def _get(self, name, discard=0, thin=1):
+        if self.iteration <= 0:
+            raise AttributeError(
+                "you must run the sampler with 'store == True' before "
+                "accessing the results"
+            )
+        v = getattr(self, name)[discard + thin - 1 : self.iteration : thin]
+        return v
+
+    def get_chain(self, discard=0, thin=1, flat=False, temp=None):
+        v = self._get("chain", discard, thin)
+        if temp is not None:
+            v = v[:, temp]
+            if flat:
+                return v.reshape(-1, v.shape[-1])
+        return v
+
+    def get_log_like(self, discard=0, thin=1):
+        return self._get("log_like", discard, thin)
+
+    def get_log_prior(self, discard=0, thin=1):
+        return self._get("log_prior", discard, thin)
+
+    def get_last_sample(self):
+        from ..parallel.tempering import PTState
+
+        it = self.iteration
+        if it <= 0:
+            raise AttributeError("empty backend")
+        return PTState(
+            coords=self.chain[it - 1],
+            log_like=self.log_like[it - 1],
+            log_prior=self.log_prior[it - 1],
+            random_state=_wrap_key(self.random_state),
+        )
+
+
+class PTHDFBackend(PTBackend):
+    """HDF5 store for parallel-tempered chains.
+
+    Layout extends the emcee group schema with a temperature axis:
+    attrs ``ntemps/nwalkers/ndim/iteration``, datasets ``chain
+    (it, T, nw, nd)``, ``log_like``, ``log_prior``, ``accepted (T, nw)``,
+    ``swaps_accepted/proposed (T-1,)``, ``betas (T,)``.
+    """
+
+    def __init__(self, filename, name="ptmcmc", read_only=False, dtype=None):
+        if h5py is None:
+            raise ImportError("you must install 'h5py' to use PTHDFBackend")
+        self.filename = filename
+        self.name = name
+        self.read_only = read_only
+        self.dtype = dtype or np.float64
+
+    @property
+    def initialized(self):
+        if not os.path.exists(self.filename):
+            return False
+        try:
+            with h5py.File(self.filename, "r") as f:
+                return self.name in f
+        except (OSError, IOError):
+            return False
+
+    def open(self, mode="r"):
+        if self.read_only and mode != "r":
+            raise RuntimeError("backend loaded in read-only mode")
+        return h5py.File(self.filename, mode)
+
+    def reset(self, ntemps, nwalkers, ndim):
+        T, nw, nd = int(ntemps), int(nwalkers), int(ndim)
+        with self.open("a") as f:
+            if self.name in f:
+                del f[self.name]
+            g = f.create_group(self.name)
+            g.attrs["version"] = "tpu-0"
+            g.attrs["ntemps"] = T
+            g.attrs["nwalkers"] = nw
+            g.attrs["ndim"] = nd
+            g.attrs["iteration"] = 0
+            g.create_dataset("accepted", data=np.zeros((T, nw)))
+            g.create_dataset(
+                "swaps_accepted", data=np.zeros(max(T - 1, 1))
+            )
+            g.create_dataset(
+                "swaps_proposed", data=np.zeros(max(T - 1, 1))
+            )
+            g.create_dataset("betas", data=np.zeros(T))
+            for nm, shape in [
+                ("chain", (T, nw, nd)),
+                ("log_like", (T, nw)),
+                ("log_prior", (T, nw)),
+            ]:
+                g.create_dataset(
+                    nm,
+                    (0,) + shape,
+                    maxshape=(None,) + shape,
+                    dtype=self.dtype,
+                )
+
+    def _attr(self, name):
+        with self.open() as f:
+            return f[self.name].attrs[name]
+
+    @property
+    def ntemps(self):
+        return int(self._attr("ntemps"))
+
+    @property
+    def nwalkers(self):
+        return int(self._attr("nwalkers"))
+
+    @property
+    def ndim(self):
+        return int(self._attr("ndim"))
+
+    @property
+    def iteration(self):
+        return int(self._attr("iteration"))
+
+    @property
+    def accepted(self):
+        with self.open() as f:
+            return np.asarray(f[self.name]["accepted"])
+
+    @property
+    def swaps_accepted(self):
+        with self.open() as f:
+            return np.asarray(f[self.name]["swaps_accepted"])
+
+    @property
+    def swaps_proposed(self):
+        with self.open() as f:
+            return np.asarray(f[self.name]["swaps_proposed"])
+
+    @property
+    def betas(self):
+        with self.open() as f:
+            return np.asarray(f[self.name]["betas"])
+
+    @property
+    def random_state(self):
+        with self.open() as f:
+            if "jax_random_state" in f[self.name].attrs:
+                return np.asarray(f[self.name].attrs["jax_random_state"])
+        return None
+
+    @property
+    def shape(self):
+        return (self.ntemps, self.nwalkers, self.ndim)
+
+    def save_chunk(
+        self,
+        coords,
+        log_like,
+        log_prior,
+        accepted,
+        swaps_accepted,
+        swaps_proposed,
+        random_state,
+        betas,
+    ):
+        coords = np.asarray(coords)
+        k = coords.shape[0]
+        with self.open("a") as f:
+            g = f[self.name]
+            it = int(g.attrs["iteration"])
+            for nm, val in [
+                ("chain", coords),
+                ("log_like", np.asarray(log_like)),
+                ("log_prior", np.asarray(log_prior)),
+            ]:
+                ds = g[nm]
+                if it + k > ds.shape[0]:
+                    ds.resize(it + k, axis=0)
+                ds[it : it + k] = val
+            g["accepted"][...] = np.asarray(g["accepted"]) + np.asarray(
+                accepted
+            ).sum(axis=0)
+            g["swaps_accepted"][...] = np.asarray(swaps_accepted)
+            g["swaps_proposed"][...] = np.asarray(swaps_proposed)
+            g["betas"][...] = np.asarray(betas)
+            kd = _key_data(random_state)
+            if kd is not None:
+                g.attrs["jax_random_state"] = kd
+            g.attrs["iteration"] = it + k
+
+    def _get(self, name, discard=0, thin=1):
+        with self.open() as f:
+            g = f[self.name]
+            it = int(g.attrs["iteration"])
+            if it <= 0:
+                raise AttributeError(
+                    "you must run the sampler with 'store == True' "
+                    "before accessing the results"
+                )
+            return np.asarray(g[name][discard + thin - 1 : it : thin])
+
+    def get_last_sample(self):
+        from ..parallel.tempering import PTState
+
+        with self.open() as f:
+            g = f[self.name]
+            it = int(g.attrs["iteration"])
+            if it <= 0:
+                raise AttributeError("empty backend")
+            return PTState(
+                coords=np.asarray(g["chain"][it - 1]),
+                log_like=np.asarray(g["log_like"][it - 1]),
+                log_prior=np.asarray(g["log_prior"][it - 1]),
+                random_state=_wrap_key(self.random_state),
+            )

@@ -74,7 +74,14 @@ class StretchMove(RedBlueMove):
         c = jnp.concatenate(c_parts, axis=0)
         key_z, key_r = jax.random.split(k)
         u_z = jax.random.uniform(key_z, (s.shape[0],), dtype=s.dtype)
-        shift = jax.random.randint(key_r, (), 0, c.shape[0])
+        # Mosaic dynamic reads need sublane-aligned offsets: draw the
+        # partner shift in units of 8 rows (uniform over nc//8 offsets —
+        # still exogenous randomness, detailed balance intact).
+        nc = c.shape[0]
+        if nc >= 8:
+            shift = 8 * jax.random.randint(key_r, (), 0, nc // 8)
+        else:
+            shift = jax.random.randint(key_r, (), 0, nc)
 
         def lp_fn(q):
             return model.compute_log_prob(q)[0]

@@ -57,7 +57,7 @@ def _kernel(a, gndim, log_prob_fn, shift_ref, s_ref, c_ref, lp_ref,
     # Partner via circular shift: double the complement into VMEM scratch,
     # then a dynamic *ref* read (pl.ds) gives the wrap-around roll — value-
     # level dynamic_slice has no Mosaic lowering.
-    shift = shift_ref[0]
+    shift = pl.multiple_of(shift_ref[0], 8)
     cc_ref[0:nc, :] = c
     cc_ref[nc : 2 * nc, :] = c
     cr = cc_ref[pl.ds(shift, ng), :]

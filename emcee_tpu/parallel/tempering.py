@@ -117,6 +117,7 @@ class PTSampler:
         vectorize=False,
         swap_every=1,
         seed=0,
+        backend=None,
         mesh: Optional[Mesh] = None,
         walker_axis: str = "walkers",
         io_chunk_bytes: int = 1 << 27,
@@ -168,19 +169,60 @@ class PTSampler:
         )
         self._io_chunk_bytes = int(io_chunk_bytes)
 
-        # Host-side storage.
-        self.reset()
+        # Host-side storage with crash-resume, like EnsembleSampler.
+        from ..backends.pt import PTBackend
+
+        self.backend = PTBackend() if backend is None else backend
+        self._previous_state = None
+        if self.backend.initialized:
+            if self.backend.shape != (
+                self.ntemps,
+                self.nwalkers,
+                self.ndim,
+            ):
+                raise ValueError(
+                    "the shape of the backend is incompatible with the "
+                    f"sampler; expected "
+                    f"{(self.ntemps, self.nwalkers, self.ndim)}, got "
+                    f"{self.backend.shape}"
+                )
+            if self.backend.iteration > 0:
+                self._previous_state = self.backend.get_last_sample()
+        else:
+            self.backend.reset(self.ntemps, self.nwalkers, self.ndim)
+        self._base_swaps_accepted = np.asarray(
+            self.backend.swaps_accepted, dtype=np.int64
+        )
+        self._base_swaps_proposed = np.asarray(
+            self.backend.swaps_proposed, dtype=np.int64
+        )
         self._run_cache = {}
 
     def reset(self):
-        self.iteration = 0
-        self._chain = []  # list of (k, T, nw, nd) numpy chunks
-        self._log_like_chain = []
-        self._log_prior_chain = []
-        self.accepted = np.zeros((self.ntemps, self.nwalkers), dtype=np.int64)
-        self.swaps_accepted = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
-        self.swaps_proposed = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
+        self.backend.reset(self.ntemps, self.nwalkers, self.ndim)
         self._previous_state = None
+        self._base_swaps_accepted = np.zeros(
+            max(self.ntemps - 1, 1), dtype=np.int64
+        )
+        self._base_swaps_proposed = np.zeros(
+            max(self.ntemps - 1, 1), dtype=np.int64
+        )
+
+    @property
+    def iteration(self):
+        return self.backend.iteration
+
+    @property
+    def accepted(self):
+        return self.backend.accepted
+
+    @property
+    def swaps_accepted(self):
+        return self.backend.swaps_accepted
+
+    @property
+    def swaps_proposed(self):
+        return self.backend.swaps_proposed
 
     # ------------------------------------------------------------------
     def _tempered_model(self, beta):
@@ -505,30 +547,45 @@ class PTSampler:
             else [max_chunk] * (nsteps // max_chunk)
             + ([nsteps % max_chunk] if nsteps % max_chunk else [])
         )
-        swaps_per_step = 1.0 / max(self.swap_every, 1)
+        # Exact per-pair proposal counts: an attempt fires at proposals
+        # where step % swap_every == swap_every - 1, alternating parity.
+        step0 = self.backend.iteration * int(thin_by)
+        proposed = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
+        for sidx in range(step0, step0 + nsteps * int(thin_by)):
+            if self.swap_every > 0 and (
+                (sidx - step0) % self.swap_every == self.swap_every - 1
+            ):
+                parity = sidx % 2
+                pairs = np.arange(parity, self.ntemps - 1, 2)
+                proposed[pairs] += self.nwalkers
+
         for n in sizes:
             run = self._build_chunk(n, int(thin_by), store)
             state, carries, swap_acc, outs = run(state, carries, swap_acc)
-            if store:
-                coords, ll, lpr, accs = jax.device_get(outs)
-                self._chain.append(coords)
-                self._log_like_chain.append(ll)
-                self._log_prior_chain.append(lpr)
-                self.accepted += accs.sum(axis=0)
-                self.iteration += n
-        # Pair-swap statistics (walker-summed).
-        self.swaps_accepted = np.asarray(jax.device_get(swap_acc)).sum(
-            axis=1
-        )
-        total_swaps = int(
-            round(nsteps * thin_by * swaps_per_step)
-        )
-        # Each parity covers about half the pairs per swap attempt.
-        self.swaps_proposed = np.full(
-            max(self.ntemps - 1, 1),
-            max(total_swaps // 2, 1) * self.nwalkers,
-            dtype=np.int64,
-        )
+            if not store:
+                continue
+            coords, ll, lpr, accs = jax.device_get(outs)
+            swaps_delta = np.asarray(jax.device_get(swap_acc)).sum(axis=1)
+            # swap_acc accumulates across chunks within this run; convert
+            # to a final absolute count when saving the last chunk.
+            self.backend.save_chunk(
+                coords,
+                ll,
+                lpr,
+                accs,
+                self._base_swaps_accepted + swaps_delta,
+                self._base_swaps_proposed + proposed,
+                state.random_state,
+                self.betas,
+            )
+        if store:
+            self._base_swaps_accepted = np.asarray(
+                self.backend.swaps_accepted
+            )
+            self._base_swaps_proposed = np.asarray(
+                self.backend.swaps_proposed
+            )
+        jax.block_until_ready(state.coords)
         self._previous_state = state
         return state
 
@@ -543,20 +600,18 @@ class PTSampler:
 
     def get_chain(self, discard=0, thin=1, flat=False, temp=None):
         """Stored chain ``(it, T, nw, nd)`` (or one rung with ``temp``)."""
-        if not self._chain:
-            raise AttributeError("no stored chain")
-        v = np.concatenate(self._chain, axis=0)
-        v = v[discard + thin - 1 :: thin]
-        if temp is not None:
-            v = v[:, temp]
-            if flat:
-                return v.reshape(-1, v.shape[-1])
-        return v
+        return self.backend.get_chain(
+            discard=discard, thin=thin, flat=flat, temp=temp
+        )
 
     def get_log_like(self, discard=0, thin=1):
-        return np.concatenate(self._log_like_chain, axis=0)[
-            discard + thin - 1 :: thin
-        ]
+        return self.backend.get_log_like(discard=discard, thin=thin)
+
+    def get_log_prior(self, discard=0, thin=1):
+        return self.backend.get_log_prior(discard=discard, thin=thin)
+
+    def get_last_sample(self):
+        return self.backend.get_last_sample()
 
     def get_autocorr_time(self, discard=0, thin=1, temp=0, **kwargs):
         x = self.get_chain(discard=discard, thin=thin, temp=temp)
