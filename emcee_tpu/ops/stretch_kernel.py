@@ -76,7 +76,7 @@ def _kernel(a, gndim, log_prob_fn, shift_ref, s_ref, c_ref, lp_ref,
 
     out_c_ref[:] = q_safe * accf[:, None] + s * (1.0 - accf[:, None])
     out_lp_ref[:] = lp_safe * accf + lp_ref[:] * (1.0 - accf)
-    acc_ref[:] = accf.astype(jnp.int8)
+    acc_ref[:] = accf.astype(jnp.int32)
 
 
 def fused_stretch_half_step(
@@ -110,7 +110,7 @@ def fused_stretch_half_step(
         out_shape=(
             jax.ShapeDtypeStruct((ng, ndim), s.dtype),
             jax.ShapeDtypeStruct((ng,), lp_s.dtype),
-            jax.ShapeDtypeStruct((ng,), jnp.int8),
+            jax.ShapeDtypeStruct((ng,), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

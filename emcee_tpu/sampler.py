@@ -195,16 +195,56 @@ class EnsembleSampler:
         # via the remote runtime — dominant for small ensembles).
         self._scan_unroll = int(scan_unroll)
 
-        # Canonical batched log-prob.
+        # Canonical batched log-prob (settings kept for re-wrapping after
+        # unpickling — the wrapped closure itself is not picklable).
         self.log_prob_fn = log_prob_fn
-        self._compute_log_prob = wrap_log_prob_fn(
-            log_prob_fn,
+        self._lp_settings = dict(
             args=args,
             kwargs=kwargs,
             vectorize=vectorize,
             parameter_names=parameter_names,
             host_callback=host_callback,
         )
+        self._compute_log_prob = wrap_log_prob_fn(
+            log_prob_fn, **self._lp_settings
+        )
+        self._model = self._build_model()
+
+        # Resume from a non-empty backend (reference ensemble.py:139-162).
+        self._previous_state = None
+        if self.backend.initialized:
+            state_shape = self.backend.shape
+            if state_shape != (self.nwalkers, self.ndim):
+                raise ValueError(
+                    "the shape of the backend is incompatible with the "
+                    f"shape of the sampler; expected "
+                    f"{(self.nwalkers, self.ndim)}, got {state_shape}"
+                )
+            if self.backend.iteration > 0:
+                self._previous_state = self.backend.get_last_sample()
+        else:
+            self.backend.reset(self.nwalkers, self.ndim)
+
+        self._run_chunk_cache = {}
+
+    def __getstate__(self):
+        # Jitted chunk runners and wrapped log-prob closures are not
+        # picklable; they rebuild after unpickling (the reference
+        # similarly drops its pool, ensemble.py:250-256).
+        d = self.__dict__.copy()
+        d["_run_chunk_cache"] = {}
+        d["_compute_log_prob"] = None
+        d["_model"] = None
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._compute_log_prob = wrap_log_prob_fn(
+            self.log_prob_fn, **self._lp_settings
+        )
+        self._model = self._build_model()
+
+    def _build_model(self) -> Model:
         if self._param_axis is not None:
             # Long-ndim mode: the user log-prob computes a shard-local
             # partial sum over its parameter block; psum completes it
@@ -224,30 +264,13 @@ class EnsembleSampler:
             model_log_prob = _sharded_log_prob
         else:
             model_log_prob = self._compute_log_prob
-        self._model = Model(
+        return Model(
             compute_log_prob=model_log_prob,
             axis_name=self._axis_name,
             nwalkers=self.nwalkers,
             param_axis=self._param_axis,
             ndim=self.ndim,
         )
-
-        # Resume from a non-empty backend (reference ensemble.py:139-162).
-        self._previous_state = None
-        if self.backend.initialized:
-            state_shape = self.backend.shape
-            if state_shape != (self.nwalkers, self.ndim):
-                raise ValueError(
-                    "the shape of the backend is incompatible with the "
-                    f"shape of the sampler; expected "
-                    f"{(self.nwalkers, self.ndim)}, got {state_shape}"
-                )
-            if self.backend.iteration > 0:
-                self._previous_state = self.backend.get_last_sample()
-        else:
-            self.backend.reset(self.nwalkers, self.ndim)
-
-        self._run_chunk_cache = {}
 
     # ------------------------------------------------------------------
     # Introspection properties (reference ensemble.py:555-623)
@@ -667,5 +690,14 @@ class EnsembleSampler:
         return state
 
     def _save_chunk(self, out, key):
+        if jax.process_count() > 1:
+            # Multi-host: chunk outputs are sharded across hosts; gather
+            # to every process, then only process 0 owns the backend
+            # write (SURVEY §2: "only process 0 writes global arrays").
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
+            if jax.process_index() != 0:
+                return
         coords, log_prob, blobs, accepted = jax.device_get(out)
         self.backend.save_chunk(coords, log_prob, blobs, accepted, key)

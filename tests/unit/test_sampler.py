@@ -304,3 +304,22 @@ def test_reset():
     assert sampler.iteration == 0
     with pytest.raises(AttributeError):
         sampler.get_chain()
+
+
+def test_pickling():
+    """Sampler round-trips through pickle (reference test_sampler.py:225-234).
+
+    The jitted chunk caches are dropped and rebuilt lazily; module-level
+    log-prob functions keep the sampler picklable.
+    """
+    import pickle
+
+    sampler = run_sampler(None, nsteps=5)
+    blob = pickle.dumps(sampler)
+    clone = pickle.loads(blob)
+    np.testing.assert_array_equal(
+        clone.get_chain(), sampler.get_chain()
+    )
+    # The clone can keep sampling.
+    clone.run_mcmc(None, 5)
+    assert clone.iteration == 10
