@@ -1,0 +1,144 @@
+"""Move unit tests with a stub model (reference ``tests/unit/test_stretch.py``).
+
+Each move's ``propose`` runs against a trivial model in isolation and must
+produce correctly-shaped, finite output and valid accept vectors.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emcee_tpu import State, moves
+from emcee_tpu.model import Model
+
+
+def stub_model(nwalkers):
+    return Model(
+        compute_log_prob=lambda q: (jnp.zeros(q.shape[0]), None),
+        axis_name=None,
+        nwalkers=nwalkers,
+    )
+
+
+def make_state(nwalkers=32, ndim=3, seed=0):
+    key = jax.random.key(seed)
+    coords = jax.random.normal(key, (nwalkers, ndim))
+    return State(
+        coords=coords,
+        log_prob=jnp.zeros(nwalkers),
+        random_state=jax.random.key(seed + 1),
+    )
+
+
+ALL_MOVES = [
+    moves.StretchMove(),
+    moves.StretchMove(randomize_split=False),
+    moves.StretchMove(pair_mode="roll"),
+    moves.StretchMove(nsplits=4),
+    moves.WalkMove(),
+    moves.WalkMove(s=5),
+    moves.DEMove(),
+    moves.DEMove(pair_mode="roll"),
+    moves.DESnookerMove(),
+    moves.KDEMove(),
+    moves.GaussianMove(0.25),
+    moves.GaussianMove(0.25, mode="random"),
+    moves.GaussianMove(0.25, mode="sequential"),
+    moves.GaussianMove(0.25 * np.ones(3)),
+    moves.GaussianMove(np.diag(0.25 * np.ones(3))),
+    moves.MHMove(
+        lambda key, x: (
+            x + 0.1 * jax.random.normal(key, x.shape),
+            jnp.zeros(x.shape[0]),
+        )
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "move", ALL_MOVES, ids=[type(m).__name__ + f"_{i}" for i, m in enumerate(ALL_MOVES)]
+)
+def test_propose_contract(move):
+    nwalkers, ndim = 32, 3
+    state = make_state(nwalkers, ndim)
+    model = stub_model(nwalkers)
+    carry = move.init_carry(nwalkers, ndim)
+    key = jax.random.key(5)
+
+    new_state, accepted, carry = jax.jit(
+        lambda k, s, c: move.propose(k, s, model, c)
+    )(key, state, carry)
+
+    assert new_state.coords.shape == (nwalkers, ndim)
+    assert new_state.log_prob.shape == (nwalkers,)
+    assert accepted.shape == (nwalkers,)
+    assert accepted.dtype == bool
+    assert np.all(np.isfinite(np.asarray(new_state.coords)))
+    # With a flat target every non-shrinking proposal is acceptable;
+    # something must move over a few proposals.
+    total = np.asarray(accepted).sum()
+    assert 0 <= total <= nwalkers
+
+
+def test_rejected_walkers_keep_position():
+    """Where accepted is False, coordinates must be unchanged."""
+    nwalkers, ndim = 32, 3
+    state = make_state(nwalkers, ndim)
+    # A target that rejects everything: -inf for any proposal move.
+    model = Model(
+        compute_log_prob=lambda q: (
+            jnp.full(q.shape[0], -jnp.inf),
+            None,
+        ),
+        axis_name=None,
+        nwalkers=nwalkers,
+    )
+    move = moves.StretchMove()
+    new_state, accepted, _ = move.propose(
+        jax.random.key(0), state, model, ()
+    )
+    assert not np.any(np.asarray(accepted))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.coords), np.asarray(state.coords)
+    )
+
+
+def test_red_blue_guard():
+    state = make_state(nwalkers=4, ndim=3)
+    model = stub_model(4)
+    with pytest.raises(RuntimeError):
+        moves.StretchMove().propose(jax.random.key(0), state, model, ())
+    # live_dangerously suppresses it
+    moves.StretchMove(live_dangerously=True).propose(
+        jax.random.key(0), state, model, ()
+    )
+
+
+def test_nsplits_divisibility_guard():
+    state = make_state(nwalkers=30, ndim=3)
+    model = stub_model(30)
+    with pytest.raises(ValueError):
+        moves.StretchMove(nsplits=4).propose(
+            jax.random.key(0), state, model, ()
+        )
+
+
+def test_gaussian_sequential_carry_cycles():
+    nwalkers, ndim = 16, 3
+    move = moves.GaussianMove(0.25, mode="sequential")
+    state = make_state(nwalkers, ndim)
+    model = stub_model(nwalkers)
+    carry = move.init_carry(nwalkers, ndim)
+    seen = []
+    for i in range(4):
+        prev = np.asarray(state.coords).copy()
+        state, accepted, carry = move.propose(
+            jax.random.fold_in(jax.random.key(0), i), state, model, carry
+        )
+        changed = np.asarray(state.coords) != prev
+        # Only a single dimension may change per proposal.
+        dims = set(np.nonzero(changed.any(axis=0))[0].tolist())
+        assert len(dims) <= 1
+        seen.append(int(carry))
+    assert seen == [1, 2, 0, 1]  # cycles mod ndim
