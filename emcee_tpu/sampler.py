@@ -24,6 +24,7 @@ backend resume), but the execution model is redesigned for XLA:
 from __future__ import annotations
 
 import math
+import time
 import warnings
 from functools import partial
 from typing import Any, Optional
@@ -669,9 +670,18 @@ class EnsembleSampler:
             nsteps, self._auto_chunk(state, thin_by)
         )
         total = nsteps * thin_by
+        from .profiling import RunStats
+
+        stats = RunStats(
+            nsteps=nsteps,
+            nproposals=total,
+            nwalkers=self.nwalkers,
+        )
+        t_run = time.perf_counter()
         with get_progress_bar(progress, total, **progress_kwargs) as pbar:
             pending = None  # overlap: fetch chunk k while k+1 computes
             for n in schedule:
+                t_chunk = time.perf_counter()
                 run = self._get_run_chunk(
                     n, thin_by, store, tune, blobs_struct
                 )
@@ -680,12 +690,16 @@ class EnsembleSampler:
                     if pending is not None:
                         self._save_chunk(*pending)
                     pending = (out, state.random_state)
+                stats.chunks += 1
+                stats.chunk_times.append(time.perf_counter() - t_chunk)
                 pbar.update(n * thin_by)
             if store and pending is not None:
                 self._save_chunk(*pending)
 
         # Block so failures surface here, then remember the state.
         jax.block_until_ready(state.coords)
+        stats.walltime_s = time.perf_counter() - t_run
+        self.last_run_stats = stats
         self._previous_state = state
         return state
 
