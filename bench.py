@@ -32,16 +32,17 @@ def main():
 
     # Performance configuration (see docs/performance.md): fixed-split
     # blocked engine (gather/sort-free, the original Goodman & Weare
-    # parallel algorithm) + scan unrolling.  Statistical correctness of
-    # this configuration is enforced by the integration test suite.
+    # parallel algorithm) + contiguous roll pairing + scan unrolling.
+    # Statistical correctness of this configuration is enforced by the
+    # integration test suite.
     sampler = EnsembleSampler(
         nwalkers,
         ndim,
         log_prob,
         vectorize=True,
         seed=0,
-        moves=moves.StretchMove(randomize_split=False),
-        scan_unroll=16,
+        moves=moves.StretchMove(randomize_split=False, pair_mode="roll"),
+        scan_unroll=8,
     )
     coords = jax.random.normal(jax.random.key(1), (nwalkers, ndim))
     state = sampler._prepare_state(

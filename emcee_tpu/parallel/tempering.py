@@ -116,6 +116,9 @@ class PTSampler:
         kwargs=None,
         vectorize=False,
         swap_every=1,
+        adaptive=False,
+        adaptation_lag=10_000,
+        adaptation_time=100,
         seed=0,
         backend=None,
         mesh: Optional[Mesh] = None,
@@ -130,6 +133,10 @@ class PTSampler:
         self.ntemps = len(self.betas)
         assert self.ntemps == ntemps
         self.swap_every = int(swap_every)
+        # Vousden et al. (2016) diminishing ladder adaptation.
+        self.adaptive = bool(adaptive)
+        self.adaptation_lag = float(adaptation_lag)
+        self.adaptation_time = float(adaptation_time)
 
         if moves is None:
             self._moves = [_moves_mod.StretchMove()]
@@ -339,11 +346,10 @@ class PTSampler:
         if fn is not None:
             return fn
 
-        betas = jnp.asarray(self.betas)
         swap_every = self.swap_every
 
         def one(carry, step_i):
-            state, carries, swap_acc_tot = carry
+            state, carries, swap_acc_tot, betas = carry
             key, k_move, k_swap = jax.random.split(state.random_state, 3)
             coords, ll, lpr, acc, carries = self._move_step(
                 k_move,
@@ -391,11 +397,11 @@ class PTSampler:
                 log_prior=lpr,
                 random_state=key,
             )
-            return (state, carries, swap_acc_tot), acc
+            return (state, carries, swap_acc_tot, betas), acc
 
         def kept(carry, step_i):
             base = step_i * thin_by
-            (state, carries, swp), accs = jax.lax.scan(
+            (state, carries, swp, betas), accs = jax.lax.scan(
                 one,
                 carry,
                 base + jnp.arange(thin_by),
@@ -409,12 +415,12 @@ class PTSampler:
                 )
             else:
                 out = None
-            return (state, carries, swp), out
+            return (state, carries, swp, betas), out
 
-        def chunk(state, carries, swap_acc_tot):
-            (state, carries, swp), outs = jax.lax.scan(
+        def chunk(state, carries, swap_acc_tot, betas):
+            (state, carries, swp, betas), outs = jax.lax.scan(
                 kept,
-                (state, carries, swap_acc_tot),
+                (state, carries, swap_acc_tot, betas),
                 jnp.arange(nkeep),
             )
             return state, carries, swp, outs
