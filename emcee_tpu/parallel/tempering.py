@@ -449,7 +449,7 @@ class PTSampler:
             chunk = _shard_map(
                 chunk,
                 mesh=self.mesh,
-                in_specs=(state_spec, carries_spec, swap_spec),
+                in_specs=(state_spec, carries_spec, swap_spec, P()),
                 out_specs=(state_spec, carries_spec, swap_spec, out_spec),
                 check_vma=False,
             )
@@ -511,6 +511,38 @@ class PTSampler:
             state = jax.tree_util.tree_map(jax.device_put, state, sh)
         return state
 
+    def _adapt_ladder(self, swap_acc, prev_swaps, chunk_props, done):
+        """Diminishing ladder adaptation (Vousden et al. 2016, eq. 11-12).
+
+        Adjust log temperature gaps toward equal adjacent swap acceptance:
+        ``dS_i = kappa * (A_i - A_{i+1})`` with ``S_i = log(T_i - T_{i-1})``
+        and ``kappa = (1/adaptation_time) * lag / (t + lag)`` decaying so
+        the chain remains asymptotically exact.  beta_0 = 1 stays pinned.
+        """
+        T = self.ntemps
+        if T < 3:
+            return jnp.asarray(self.betas), prev_swaps
+        cur = np.asarray(jax.device_get(swap_acc)).sum(axis=1)
+        delta = cur - prev_swaps
+        attempts = max(
+            (chunk_props // max(self.swap_every, 1)) * self.nwalkers // 2,
+            1,
+        )
+        A = delta / attempts  # (T-1,) pair acceptance rates
+        kappa = (1.0 / self.adaptation_time) * (
+            self.adaptation_lag / (done + self.adaptation_lag)
+        )
+        temps = 1.0 / self.betas
+        S = np.log(np.diff(temps))
+        # Gap i sits between rungs (i, i+1); drive A_i toward A_{i+1}
+        # (the last gap has no upper neighbor and holds still).
+        grad = np.zeros(T - 1)
+        grad[: T - 2] = A[: T - 2] - A[1 : T - 1]
+        S += kappa * np.clip(grad, -1.0, 1.0)
+        temps = np.concatenate([[temps[0]], temps[0] + np.cumsum(np.exp(S))])
+        self.betas = 1.0 / temps
+        return jnp.asarray(self.betas), cur
+
     def run_mcmc(
         self,
         initial_state,
@@ -565,9 +597,19 @@ class PTSampler:
                 pairs = np.arange(parity, self.ntemps - 1, 2)
                 proposed[pairs] += self.nwalkers
 
+        betas_dev = jnp.asarray(self.betas)
+        prev_swaps = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
+        proposals_done = 0
         for n in sizes:
             run = self._build_chunk(n, int(thin_by), store)
-            state, carries, swap_acc, outs = run(state, carries, swap_acc)
+            state, carries, swap_acc, outs = run(
+                state, carries, swap_acc, betas_dev
+            )
+            proposals_done += n * int(thin_by)
+            if self.adaptive:
+                betas_dev, prev_swaps = self._adapt_ladder(
+                    swap_acc, prev_swaps, n * int(thin_by), proposals_done
+                )
             if not store:
                 continue
             coords, ll, lpr, accs = jax.device_get(outs)
