@@ -52,14 +52,16 @@ def main():
 
     run = sampler._get_run_chunk(nsteps, 1, False, False, None)
     st, c, _ = run(state, carries)
-    np.asarray(st.coords)  # forced fetch: block_until_ready can return
-    # early on the tunneled runtime, so always sync via a value fetch.
+    # Forced sync: block_until_ready can return early on the tunneled
+    # runtime; fetching a scalar that depends on the full computation
+    # forces completion without paying a multi-MB host transfer.
+    float(jnp.sum(st.log_prob))
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         st, c, _ = run(st, c)
-    np.asarray(st.coords)
+    float(jnp.sum(st.log_prob))
     dt = time.perf_counter() - t0
 
     # Sanity: the chain must actually be sampling (acceptance ~0.5-0.6
