@@ -64,12 +64,17 @@ def function_1d(x):
     return np.asarray(_acf_batched(x))
 
 
-def _tau_estimates(x, c):
-    """Device-side core: (n_t, n_w, n_d) -> per-dim tau and window index."""
-    acf = _acf_batched(x)  # (n_t, n_w, n_d)
-    f = jnp.mean(acf, axis=1)  # (n_t, n_d)
+def _mean_acf(x):
+    """(n_t, n_w_chunk, n_d) -> walker-summed ACF (n_t, n_d)."""
+    return jnp.sum(_acf_batched(x), axis=1)
+
+
+_mean_acf_jit = jax.jit(_mean_acf)
+
+
+def _tau_from_f(f, c, n_t):
+    """Sokal windowing from the walker-averaged ACF (n_t, n_d)."""
     taus = 2.0 * jnp.cumsum(f, axis=0) - 1.0
-    n_t = x.shape[0]
     steps = jnp.arange(n_t, dtype=taus.dtype)[:, None]
     mask = steps < c * taus
     # auto_window: first index where the mask fails, else n_t - 1.
@@ -80,7 +85,27 @@ def _tau_estimates(x, c):
     return tau_est, windows
 
 
-_tau_estimates_jit = jax.jit(_tau_estimates, static_argnums=(1,))
+_tau_from_f_jit = jax.jit(_tau_from_f, static_argnums=(1, 2))
+
+
+def _tau_estimates(x, c):
+    """(n_t, n_w, n_d) -> per-dim tau; walker axis processed in chunks.
+
+    The padded FFT intermediates are ~``2 * next_pow_two(n_t)`` floats per
+    (walker, dim) series; at 1e5 walkers that is multiple GB, so the
+    walker-average accumulates chunk-by-chunk instead of one giant batch.
+    """
+    n_t, n_w, n_d = x.shape
+    m = next_pow_two(n_t)
+    # Budget ~256 MB of FFT scratch per chunk.
+    per_walker = 2 * m * n_d * 8
+    chunk = max(1, min(n_w, (256 << 20) // max(per_walker, 1)))
+    f = None
+    for lo in range(0, n_w, chunk):
+        part = _mean_acf_jit(x[:, lo : lo + chunk, :])
+        f = part if f is None else f + part
+    f = f / n_w
+    return _tau_from_f_jit(f, float(c), n_t)
 
 
 def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True):
@@ -100,7 +125,7 @@ def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True):
         raise ValueError("invalid dimensions")
 
     n_t = x.shape[0]
-    tau_est, _ = _tau_estimates_jit(x, float(c))
+    tau_est, _ = _tau_estimates(x, float(c))
     tau_est = np.asarray(tau_est, dtype=np.float64)
 
     flag = tol * tau_est > n_t
