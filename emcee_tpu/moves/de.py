@@ -47,25 +47,33 @@ class DEMove(RedBlueMove):
             # "Pure MAGIC" default from the two references (de.py:36-38).
             g0 = 2.38 / jnp.sqrt(2.0 * model.global_ndim(ndim))
 
-        key_i, key_j, key_g = jax.random.split(key, 3)
         if self.pair_mode == "roll":
             # Contiguous pairing (see StretchMove.pair_mode): two distinct
             # random shifts give c[(i+s1)%nc] - c[(i+s2)%nc] with the pair
-            # members always distinct — no gather in the hot loop.
-            s1 = jax.random.randint(key_i, (), 0, nc)
-            d = jax.random.randint(key_j, (), 1, nc)
+            # members always distinct — no gather in the hot loop, and the
+            # shift uniforms ride in the same fused draw as gamma's
+            # normals (one RNG kernel per half-step).
+            z = jax.random.normal(key, (ns + 2,), dtype=s.dtype)
+            u1 = jax.scipy.stats.norm.cdf(z[ns])
+            u2 = jax.scipy.stats.norm.cdf(z[ns + 1])
+            s1 = (u1 * nc).astype(jnp.int32)
+            d = 1 + (u2 * (nc - 1)).astype(jnp.int32)
             s2 = (s1 + d) % nc
             diffs = (
                 jnp.roll(c, -s2, axis=0)[:ns] - jnp.roll(c, -s1, axis=0)[:ns]
             )
+            gamma = g0 * (1.0 + self.sigma * z[:ns, None])
         else:
+            key_i, key_j, key_g = jax.random.split(key, 3)
             i = jax.random.randint(key_i, (ns,), 0, nc)
             j = jax.random.randint(key_j, (ns,), 0, nc - 1)
             # uniform over ordered pairs, i != j
             j = jnp.where(j >= i, j + 1, j)
             diffs = c[j] - c[i]
-        gamma = g0 * (
-            1.0 + self.sigma * jax.random.normal(key_g, (ns, 1), dtype=s.dtype)
-        )
+            gamma = g0 * (
+                1.0
+                + self.sigma
+                * jax.random.normal(key_g, (ns, 1), dtype=s.dtype)
+            )
         q = s + gamma * diffs
         return q, jnp.zeros(ns, dtype=s.dtype)

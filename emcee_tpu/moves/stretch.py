@@ -103,15 +103,20 @@ class StretchMove(RedBlueMove):
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]
-        key_z, key_r = jax.random.split(key)
-        u = jax.random.uniform(key_z, (ns,), dtype=s.dtype)
-        zz = ((self.a - 1.0) * u + 1.0) ** 2 / self.a
-        factors = (model.global_ndim(ndim) - 1.0) * jnp.log(zz)
         if self.pair_mode == "roll":
-            shift = jax.random.randint(key_r, (), 0, nc)
+            # One fused RNG call per half-step: ns z-uniforms plus one
+            # extra uniform that becomes the partner shift (every kernel
+            # launch carries ~55 us fixed cost on this runtime).
+            u_all = jax.random.uniform(key, (ns + 1,), dtype=s.dtype)
+            u = u_all[:ns]
+            shift = (u_all[ns] * nc).astype(jnp.int32)
             cr = jnp.roll(c, -shift, axis=0)[:ns]
         else:
+            key_z, key_r = jax.random.split(key)
+            u = jax.random.uniform(key_z, (ns,), dtype=s.dtype)
             rint = jax.random.randint(key_r, (ns,), 0, nc)
             cr = c[rint]
+        zz = ((self.a - 1.0) * u + 1.0) ** 2 / self.a
+        factors = (model.global_ndim(ndim) - 1.0) * jnp.log(zz)
         q = cr - (cr - s) * zz[:, None]
         return q, factors

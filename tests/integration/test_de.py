@@ -19,3 +19,7 @@ def test_uniform_de():
 
 def test_normal_de_3d():
     _test_normal(moves.DEMove(), ndim=3)
+
+
+def test_normal_de_roll_blocked():
+    _test_normal(moves.DEMove(randomize_split=False, pair_mode="roll"))

@@ -25,3 +25,14 @@ def test_uniform_stretch():
 
 def test_nsplits_stretch_ndim():
     _test_normal(moves.StretchMove(nsplits=4), ndim=3, nwalkers=32)
+
+
+def test_normal_stretch_roll_blocked():
+    """The TPU performance configuration must pass the statistical oracle."""
+    _test_normal(
+        moves.StretchMove(randomize_split=False, pair_mode="roll")
+    )
+
+
+def test_uniform_stretch_roll():
+    _test_uniform(moves.StretchMove(pair_mode="roll"))
