@@ -69,6 +69,12 @@ class RedBlueMove(Move):
             "The proposal must be implemented by subclasses"
         )
 
+    def n_extra_uniforms(self, ng: int, nc: int) -> int:
+        """Extra per-split uniforms to fold into the step's single RNG
+        draw (0 disables; see ``propose``).  Moves that opt in receive the
+        slice as the ``extra`` keyword of ``get_proposal``."""
+        return 0
+
     def propose(self, key, state, model, carry):
         nwalkers, ndim = state.coords.shape
         nglobal = model.nwalkers or nwalkers
@@ -89,21 +95,29 @@ class RedBlueMove(Move):
         key = model.fold_walker(key)
         keys = jax.random.split(key, 2 + self.nsplits)
         key_perm, key_acc, split_keys = keys[0], keys[1], keys[2:]
-        # One fused draw for every split's acceptance uniforms.
+        # One fused draw for every split's acceptance uniforms — plus any
+        # extra uniforms the concrete move asks for via n_extra_uniforms
+        # (e.g. stretch z-draws + roll shifts), so the whole proposal
+        # consumes a single RNG kernel per step.
         dtype = state.coords.dtype
-        log_acc_u = jnp.log(
-            jax.random.uniform(key_acc, (self.nsplits, ng), dtype=dtype)
+        n_extra = self.n_extra_uniforms(ng, nwalkers - ng)
+        u_all = jax.random.uniform(
+            key_acc, (self.nsplits, ng + n_extra), dtype=dtype
         )
+        log_acc_u = jnp.log(u_all[:, :ng])
+        extra_u = u_all[:, ng:] if n_extra else None
 
         if self.randomize_split:
             return self._propose_shuffled(
-                key_perm, split_keys, log_acc_u, state, model, carry, ng
+                key_perm, split_keys, log_acc_u, extra_u, state, model,
+                carry, ng
             )
         return self._propose_blocked(
-            split_keys, log_acc_u, state, model, carry, ng
+            split_keys, log_acc_u, extra_u, state, model, carry, ng
         )
 
-    def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model):
+    def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model,
+               extra=None):
         """Propose/evaluate/accept for one group; returns selected values."""
         if model.axis_name is not None:
             # Each shard proposes against the full global complement.
@@ -111,7 +125,10 @@ class RedBlueMove(Move):
                 jax.lax.all_gather(c, model.axis_name, axis=0, tiled=True)
                 for c in c_parts
             )
-        q, factors = self.get_proposal(k, s, c_parts, model)
+        if extra is not None:
+            q, factors = self.get_proposal(k, s, c_parts, model, extra=extra)
+        else:
+            q, factors = self.get_proposal(k, s, c_parts, model)
         new_lp, new_blobs = model.compute_log_prob(q)
         lnpdiff = factors + new_lp - lp_s
         acc = log_u < lnpdiff
@@ -123,7 +140,8 @@ class RedBlueMove(Move):
         return sel_coords, sel_lp, sel_blobs, acc
 
     def _propose_shuffled(
-        self, key_perm, split_keys, log_acc_u, state, model, carry, ng
+        self, key_perm, split_keys, log_acc_u, extra_u, state, model,
+        carry, ng
     ):
         """Reference-faithful path: random membership via permutation."""
         nwalkers = state.coords.shape[0]
@@ -156,6 +174,7 @@ class RedBlueMove(Move):
                 blobs_s,
                 log_acc_u[split],
                 model,
+                extra=None if extra_u is None else extra_u[split],
             )
             coords = coords.at[idx].set(sel_c)
             log_prob = log_prob.at[idx].set(sel_lp)
@@ -178,7 +197,7 @@ class RedBlueMove(Move):
         )
 
     def _propose_blocked(
-        self, split_keys, log_acc_u, state, model, carry, ng
+        self, split_keys, log_acc_u, extra_u, state, model, carry, ng
     ):
         """Gather-free path: fixed contiguous-block membership.
 
@@ -217,6 +236,7 @@ class RedBlueMove(Move):
                 blobs_s,
                 log_acc_u[split],
                 model,
+                extra=None if extra_u is None else extra_u[split],
             )
             lo = split * ng
             coords = jax.lax.dynamic_update_slice(

@@ -49,7 +49,8 @@ class StretchMove(RedBlueMove):
         self.engine = engine
         super().__init__(**kwargs)
 
-    def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model):
+    def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model,
+               extra=None):
         """Dispatch to the fused Pallas half-step when selected.
 
         The Pallas engine runs the whole half-step (z-draw, roll pairing,
@@ -62,7 +63,9 @@ class StretchMove(RedBlueMove):
             or blobs_s is not None
             or model.param_axis is not None
         ):
-            return super()._inner(k, s, c_parts, lp_s, blobs_s, log_u, model)
+            return super()._inner(
+                k, s, c_parts, lp_s, blobs_s, log_u, model, extra=extra
+            )
 
         from ..ops.stretch_kernel import fused_stretch_half_step
 
@@ -99,17 +102,26 @@ class StretchMove(RedBlueMove):
         )
         return sel_c, sel_lp, None, acc
 
-    def get_proposal(self, key, s, c_parts, model):
+    def n_extra_uniforms(self, ng, nc):
+        # Roll mode folds its z-draw + shift into the engine's single
+        # per-step RNG kernel (every launch costs ~55 us on this runtime).
+        if self.pair_mode == "roll" and self.engine != "pallas":
+            return ng + 1
+        return 0
+
+    def get_proposal(self, key, s, c_parts, model, extra=None):
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]
         if self.pair_mode == "roll":
-            # One fused RNG call per half-step: ns z-uniforms plus one
-            # extra uniform that becomes the partner shift (every kernel
-            # launch carries ~55 us fixed cost on this runtime).
-            u_all = jax.random.uniform(key, (ns + 1,), dtype=s.dtype)
-            u = u_all[:ns]
-            shift = (u_all[ns] * nc).astype(jnp.int32)
+            if extra is not None:
+                u = extra[:ns]
+                shift_u = extra[ns]
+            else:
+                u_all = jax.random.uniform(key, (ns + 1,), dtype=s.dtype)
+                u = u_all[:ns]
+                shift_u = u_all[ns]
+            shift = (shift_u * nc).astype(jnp.int32)
             cr = jnp.roll(c, -shift, axis=0)[:ns]
         else:
             key_z, key_r = jax.random.split(key)
