@@ -123,6 +123,7 @@ class PTSampler:
         backend=None,
         mesh: Optional[Mesh] = None,
         walker_axis: str = "walkers",
+        temp_axis: Optional[str] = None,
         io_chunk_bytes: int = 1 << 27,
     ):
         self.nwalkers = int(nwalkers)
@@ -156,12 +157,32 @@ class PTSampler:
 
         self.mesh = mesh
         self.walker_axis = walker_axis
+        self.temp_axis = temp_axis
         self._axis_name = walker_axis if mesh is not None else None
+        self._temp_axis = (
+            temp_axis if (mesh is not None and temp_axis) else None
+        )
+        if temp_axis is not None and mesh is None:
+            raise ValueError("temp_axis requires a mesh")
         if mesh is not None and self.nwalkers % mesh.shape[walker_axis]:
             raise ValueError(
                 f"nwalkers ({self.nwalkers}) must divide by the mesh "
                 f"'{walker_axis}' axis size ({mesh.shape[walker_axis]})"
             )
+        if self._temp_axis is not None:
+            tshards = mesh.shape[self._temp_axis]
+            if self.ntemps % tshards:
+                raise ValueError(
+                    f"ntemps ({self.ntemps}) must divide by the mesh "
+                    f"'{self._temp_axis}' axis size ({tshards})"
+                )
+            t_local = self.ntemps // tshards
+            if tshards > 1 and t_local % 2:
+                raise ValueError(
+                    "temperature sharding needs an even number of rungs "
+                    f"per shard (got {t_local}); shard-internal and "
+                    "boundary swap parities must be static"
+                )
 
         if isinstance(seed, (int, np.integer)):
             self._key = jax.random.key(seed)
@@ -262,10 +283,22 @@ class PTSampler:
         )
 
     def _move_step(self, key, coords, log_like, log_prior, betas, carries):
-        """One ensemble-move proposal at every temperature (vmapped)."""
+        """One ensemble-move proposal at every (local) temperature.
+
+        Under temperature sharding ``coords`` holds this shard's rung
+        block; per-rung keys come from one global split sliced by the
+        shard index so every rung keeps its own stream regardless of the
+        mesh shape.  ``betas`` is already the local slice.
+        """
         n_moves = len(self._moves)
+        t_local = coords.shape[0]
         k_move, k_prop = jax.random.split(key)
         temp_keys = jax.random.split(k_prop, self.ntemps)
+        if self._temp_axis is not None:
+            tidx = jax.lax.axis_index(self._temp_axis)
+            temp_keys = jax.lax.dynamic_slice_in_dim(
+                temp_keys, tidx * t_local, t_local
+            )
 
         def per_temp(key_t, coords_t, ll_t, lpr_t, beta_t, carries_t, idx):
             model = self._tempered_model(beta_t)
@@ -308,7 +341,7 @@ class PTSampler:
             )
         else:
             idx = jnp.zeros((), dtype=jnp.int32)
-        idxs = jnp.broadcast_to(idx, (self.ntemps,))
+        idxs = jnp.broadcast_to(idx, (t_local,))
         return jax.vmap(per_temp)(
             temp_keys, coords, log_like, log_prior, betas, carries, idxs
         )
@@ -340,6 +373,102 @@ class PTSampler:
 
         return exch(coords), exch(log_like), exch(log_prior), acc, pair_lo
 
+    def _swap_step_sharded(self, key, coords, ll, lpr, betas, parity):
+        """Adjacent-rung exchange with the temperature axis sharded.
+
+        Shard-internal pairs swap locally; the pair straddling each shard
+        boundary exchanges rung data with the neighbor shard via
+        ``jax.lax.ppermute`` over ICI.  Requiring an even number of rungs
+        per shard makes pair parities static: even-parity pairs are always
+        internal, the boundary pair is always odd-parity, and both sides
+        of a boundary derive the same accept uniforms from a key folded
+        with the global boundary id — so the two shards reach identical
+        decisions with one ppermute each and no extra synchronization.
+        """
+        taxis = self._temp_axis
+        waxis = self._axis_name
+        T = self.ntemps
+        t_loc = coords.shape[0]
+        S = T // t_loc
+        tidx = jax.lax.axis_index(taxis)
+        if waxis is not None:
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(waxis)
+            )
+        nw = ll.shape[1]
+        counts = jnp.zeros((t_loc, nw), dtype=jnp.int32)
+
+        # Shard-internal pairs (static local indices thanks to even t_loc).
+        lo_list = list(range(parity, t_loc - 1, 2))
+        if lo_list:
+            lo = jnp.asarray(lo_list)
+            hi = lo + 1
+            g_lo = tidx * t_loc + lo
+            dbeta = betas[g_lo] - betas[g_lo + 1]
+            dll = ll[hi] - ll[lo]
+            k_int = jax.random.fold_in(key, tidx)
+            u = jax.random.uniform(k_int, dll.shape, dtype=dll.dtype)
+            acc = jnp.log(u) < dbeta[:, None] * dll
+
+            def exch(arr):
+                m = acc.reshape(acc.shape + (1,) * (arr.ndim - 2))
+                new_lo = jnp.where(m, arr[hi], arr[lo])
+                new_hi = jnp.where(m, arr[lo], arr[hi])
+                return arr.at[lo].set(new_lo).at[hi].set(new_hi)
+
+            coords, ll, lpr = exch(coords), exch(ll), exch(lpr)
+            counts = counts.at[lo].add(acc.astype(jnp.int32))
+
+        if S > 1 and parity == (t_loc - 1) % 2:
+            perm_from_right = [(i, (i - 1) % S) for i in range(S)]
+            perm_from_left = [(i, (i + 1) % S) for i in range(S)]
+            nb_first = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, taxis, perm_from_right),
+                (coords[0], ll[0], lpr[0]),
+            )
+            nb_last = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, taxis, perm_from_left),
+                (coords[t_loc - 1], ll[t_loc - 1], lpr[t_loc - 1]),
+            )
+            # Right boundary (pair id = tidx): my last rung <-> their first.
+            g_last = tidx * t_loc + t_loc - 1
+            dbeta_r = betas[g_last] - betas[jnp.minimum(g_last + 1, T - 1)]
+            u_r = jax.random.uniform(
+                jax.random.fold_in(key, 10_000 + tidx), (nw,),
+                dtype=ll.dtype,
+            )
+            acc_r = (
+                jnp.log(u_r) < dbeta_r * (nb_first[1] - ll[t_loc - 1])
+            ) & (tidx < S - 1)
+            # Left boundary (pair id = tidx - 1): their last <-> my first.
+            g_first = tidx * t_loc
+            dbeta_l = betas[jnp.maximum(g_first - 1, 0)] - betas[g_first]
+            u_l = jax.random.uniform(
+                jax.random.fold_in(key, 10_000 + tidx - 1), (nw,),
+                dtype=ll.dtype,
+            )
+            acc_l = (
+                jnp.log(u_l) < dbeta_l * (ll[0] - nb_last[1])
+            ) & (tidx > 0)
+
+            coords = coords.at[t_loc - 1].set(
+                jnp.where(acc_r[:, None], nb_first[0], coords[t_loc - 1])
+            )
+            ll = ll.at[t_loc - 1].set(
+                jnp.where(acc_r, nb_first[1], ll[t_loc - 1])
+            )
+            lpr = lpr.at[t_loc - 1].set(
+                jnp.where(acc_r, nb_first[2], lpr[t_loc - 1])
+            )
+            coords = coords.at[0].set(
+                jnp.where(acc_l[:, None], nb_last[0], coords[0])
+            )
+            ll = ll.at[0].set(jnp.where(acc_l, nb_last[1], ll[0]))
+            lpr = lpr.at[0].set(jnp.where(acc_l, nb_last[2], lpr[0]))
+            counts = counts.at[t_loc - 1].add(acc_r.astype(jnp.int32))
+
+        return coords, ll, lpr, counts
+
     def _build_chunk(self, nkeep, thin_by, store):
         cache_key = (nkeep, thin_by, store)
         fn = self._run_cache.get(cache_key)
@@ -351,34 +480,44 @@ class PTSampler:
         def one(carry, step_i):
             state, carries, swap_acc_tot, betas = carry
             key, k_move, k_swap = jax.random.split(state.random_state, 3)
+            t_loc = state.coords.shape[0]
+            if self._temp_axis is not None:
+                tidx = jax.lax.axis_index(self._temp_axis)
+                betas_local = jax.lax.dynamic_slice_in_dim(
+                    betas, tidx * t_loc, t_loc
+                )
+            else:
+                betas_local = betas
             coords, ll, lpr, acc, carries = self._move_step(
                 k_move,
                 state.coords,
                 state.log_like,
                 state.log_prior,
-                betas,
+                betas_local,
                 carries,
             )
             parity = step_i % 2
 
             def do_swap(args):
                 coords, ll, lpr, swap_acc_tot = args
+
                 # Alternate even/odd pairings by step parity; both
                 # parities compiled, selected by lax.cond.
-                def even(_):
-                    c, l, p, a, _lo = self._swap_step(
-                        k_swap, coords, ll, lpr, betas, 0
-                    )
-                    return c, l, p, self._scatter_swap_counts(a, 0)
+                def swap_with(par):
+                    def branch(_):
+                        if self._temp_axis is not None:
+                            return self._swap_step_sharded(
+                                k_swap, coords, ll, lpr, betas, par
+                            )
+                        c, l, p, a, lo = self._swap_step(
+                            k_swap, coords, ll, lpr, betas, par
+                        )
+                        return c, l, p, self._scatter_swap_counts(a, par)
 
-                def odd(_):
-                    c, l, p, a, _lo = self._swap_step(
-                        k_swap, coords, ll, lpr, betas, 1
-                    )
-                    return c, l, p, self._scatter_swap_counts(a, 1)
+                    return branch
 
                 c, l, p, counts = jax.lax.cond(
-                    parity == 0, even, odd, None
+                    parity == 0, swap_with(0), swap_with(1), None
                 )
                 return c, l, p, swap_acc_tot + counts
 
@@ -427,22 +566,23 @@ class PTSampler:
 
         if self.mesh is not None:
             ax = self.walker_axis
+            tx = self._temp_axis  # None -> replicated temperature axis
             state_spec = PTState(
-                coords=P(None, ax, None),
-                log_like=P(None, ax),
-                log_prior=P(None, ax),
+                coords=P(tx, ax, None),
+                log_like=P(tx, ax),
+                log_prior=P(tx, ax),
                 random_state=P(),
             )
             carries_spec = jax.tree_util.tree_map(
-                lambda _: P(), self._init_carries()
+                lambda _: P(tx), self._init_carries()
             )
-            swap_spec = P(None, ax)
+            swap_spec = P(tx, ax)
             if store:
                 out_spec = (
-                    P(None, None, ax, None),
-                    P(None, None, ax),
-                    P(None, None, ax),
-                    P(None, None, ax),
+                    P(None, tx, ax, None),
+                    P(None, tx, ax),
+                    P(None, tx, ax),
+                    P(None, tx, ax),
                 )
             else:
                 out_spec = None
@@ -459,9 +599,15 @@ class PTSampler:
         return fn
 
     def _scatter_swap_counts(self, acc, parity):
-        """(P, nw) bool pair acceptances -> (T-1, nw) counts at pair slots."""
+        """(P, nw) pair acceptances -> (T, nw) counts at pair rows.
+
+        Row p counts swaps of pair (p, p+1); the final row is unused
+        padding so the dense and temperature-sharded layouts agree
+        (sharded shards each hold ``t_local`` rows whose concatenation is
+        exactly this (T, nw) table).
+        """
         T = self.ntemps
-        counts = jnp.zeros((max(T - 1, 1), acc.shape[1]), dtype=jnp.int32)
+        counts = jnp.zeros((T, acc.shape[1]), dtype=jnp.int32)
         lo = jnp.arange(parity, T - 1, 2)
         if lo.shape[0] == 0:
             return counts
@@ -502,10 +648,11 @@ class PTSampler:
             state = state._replace(log_like=ll, log_prior=lpr)
         if self.mesh is not None:
             ax = self.walker_axis
+            tx = self._temp_axis
             sh = PTState(
-                coords=NamedSharding(self.mesh, P(None, ax, None)),
-                log_like=NamedSharding(self.mesh, P(None, ax)),
-                log_prior=NamedSharding(self.mesh, P(None, ax)),
+                coords=NamedSharding(self.mesh, P(tx, ax, None)),
+                log_like=NamedSharding(self.mesh, P(tx, ax)),
+                log_prior=NamedSharding(self.mesh, P(tx, ax)),
                 random_state=NamedSharding(self.mesh, P()),
             )
             state = jax.tree_util.tree_map(jax.device_put, state, sh)
@@ -522,7 +669,9 @@ class PTSampler:
         T = self.ntemps
         if T < 3:
             return jnp.asarray(self.betas), prev_swaps
-        cur = np.asarray(jax.device_get(swap_acc)).sum(axis=1)
+        cur = np.asarray(jax.device_get(swap_acc)).sum(axis=1)[
+            : max(self.ntemps - 1, 1)
+        ]
         delta = cur - prev_swaps
         attempts = max(
             (chunk_props // max(self.swap_every, 1)) * self.nwalkers // 2,
@@ -563,12 +712,14 @@ class PTSampler:
         )
         carries = self._init_carries()
         swap_acc = jnp.zeros(
-            (max(self.ntemps - 1, 1), self.nwalkers), dtype=jnp.int32
+            (self.ntemps, self.nwalkers), dtype=jnp.int32
         )
         if self.mesh is not None:
             swap_acc = jax.device_put(
                 swap_acc,
-                NamedSharding(self.mesh, P(None, self.walker_axis)),
+                NamedSharding(
+                    self.mesh, P(self._temp_axis, self.walker_axis)
+                ),
             )
 
         bytes_per_step = (
@@ -613,7 +764,9 @@ class PTSampler:
             if not store:
                 continue
             coords, ll, lpr, accs = jax.device_get(outs)
-            swaps_delta = np.asarray(jax.device_get(swap_acc)).sum(axis=1)
+            swaps_delta = np.asarray(jax.device_get(swap_acc)).sum(axis=1)[
+                : max(self.ntemps - 1, 1)
+            ]
             # swap_acc accumulates across chunks within this run; convert
             # to a final absolute count when saving the last chunk.
             self.backend.save_chunk(

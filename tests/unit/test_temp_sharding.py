@@ -1,0 +1,123 @@
+"""Temperature-axis sharding tests (ppermute boundary swaps over the mesh).
+
+The ladder splits across mesh shards: shard-internal swaps are local, and
+the pair straddling each shard boundary exchanges rung data with the
+neighbor via ``jax.lax.ppermute``.  The bimodal mode-hopping oracle is the
+end-to-end check: walkers can only cross modes if swaps genuinely carry
+states down the (distributed) ladder.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from emcee_tpu.parallel.tempering import PTSampler
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices"
+)
+
+
+def log_like(x):
+    a = -0.5 * jnp.sum((x - 5.0) ** 2)
+    b = -0.5 * jnp.sum((x + 5.0) ** 2)
+    return jnp.logaddexp(a, b)
+
+
+def log_prior(x):
+    return jnp.where(jnp.all(jnp.abs(x) < 20.0), 0.0, -jnp.inf)
+
+
+def make_mesh(tshards=2, wshards=4):
+    devs = np.array(jax.devices()[: tshards * wshards]).reshape(
+        tshards, wshards
+    )
+    return Mesh(devs, ("temp", "walkers"))
+
+
+def test_temp_sharded_mode_hopping():
+    T, nw, nd = 8, 32, 1
+    pt = PTSampler(
+        T,
+        nw,
+        nd,
+        log_like,
+        log_prior,
+        seed=0,
+        mesh=make_mesh(),
+        temp_axis="temp",
+    )
+    coords = jax.random.uniform(
+        jax.random.key(1), (T, nw, nd), minval=-10, maxval=10
+    )
+    pt.run_mcmc(coords, 1500)
+    chain0 = pt.get_chain(temp=0, discard=400, flat=True)
+    frac_pos = (chain0 > 0).mean()
+    # Mode hopping requires swaps to traverse the shard boundary
+    # (rung 3 <-> rung 4 lives across shards with 2 temp shards).
+    assert abs(frac_pos - 0.5) < 0.12, frac_pos
+    assert abs(np.abs(chain0).mean() - 5.0) < 0.25
+    # Every rung pair (including the boundary pair, index 3) must have
+    # accepted swaps.
+    assert np.all(pt.swaps_accepted[: T - 1] > 0), pt.swaps_accepted
+
+
+def test_temp_sharded_matches_dense_statistics():
+    T, nw, nd = 4, 32, 1
+    coords = jax.random.uniform(
+        jax.random.key(2), (T, nw, nd), minval=-10, maxval=10
+    )
+
+    dense = PTSampler(T, nw, nd, log_like, log_prior, seed=0)
+    dense.run_mcmc(coords, 1200)
+    d0 = dense.get_chain(temp=0, discard=400, flat=True)
+
+    sharded = PTSampler(
+        T,
+        nw,
+        nd,
+        log_like,
+        log_prior,
+        seed=0,
+        mesh=make_mesh(tshards=2, wshards=4),
+        temp_axis="temp",
+    )
+    sharded.run_mcmc(coords, 1200)
+    s0 = sharded.get_chain(temp=0, discard=400, flat=True)
+
+    assert abs(np.abs(d0).mean() - np.abs(s0).mean()) < 0.3
+    assert abs(d0.std() - s0.std()) < 0.5
+
+
+def test_temp_sharded_validation():
+    with pytest.raises(ValueError):
+        PTSampler(
+            8, 32, 1, log_like, log_prior, seed=0, temp_axis="temp"
+        )  # no mesh
+    with pytest.raises(ValueError):
+        PTSampler(
+            6,  # 6 rungs over 2 shards -> 3 per shard (odd) must raise
+            32,
+            1,
+            log_like,
+            log_prior,
+            seed=0,
+            mesh=make_mesh(),
+            temp_axis="temp",
+        )
+
+
+def test_temp_sharded_resume():
+    T, nw, nd = 8, 32, 1
+    mesh = make_mesh()
+    pt = PTSampler(
+        T, nw, nd, log_like, log_prior, seed=0, mesh=mesh,
+        temp_axis="temp",
+    )
+    coords = jax.random.normal(jax.random.key(0), (T, nw, nd))
+    pt.run_mcmc(coords, 20, skip_initial_state_check=True)
+    pt.run_mcmc(None, 20)
+    assert pt.get_chain().shape == (40, T, nw, nd)
+    assert np.all(np.isfinite(pt.get_chain()))
