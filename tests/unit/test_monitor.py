@@ -42,3 +42,21 @@ def test_monitor_not_converged_short():
     n = 200
     x = np.cumsum(rng.normal(size=(n, 4, 2)), axis=0)
     assert not monitor.update(x)
+
+
+def test_run_stats():
+    from emcee_tpu.profiling import RunStats
+
+    sampler = EnsembleSampler(16, 2, normal_log_prob, seed=0)
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(0), (16, 2))
+    )
+    sampler.run_mcmc(coords, 20, thin_by=2)
+    stats = sampler.last_run_stats
+    assert isinstance(stats, RunStats)
+    assert stats.nsteps == 20
+    assert stats.nproposals == 40
+    assert stats.nwalkers == 16
+    assert stats.walltime_s > 0
+    assert stats.walker_steps_per_sec > 0
+    assert "walker-steps/s" in stats.summary()
