@@ -11,14 +11,13 @@ Mackey et al. 2013, Algorithm 2) — but the execution model is fused XLA:
 * with ``randomize_split=True`` (reference default), group membership is a
   key-derived permutation applied as a gather (the reference shuffles an
   index array with the global MT19937 stream, ``red_blue.py:77-80``);
-* with ``randomize_split=False``, the engine takes a pure-reshape fast
-  path: the ensemble is viewed as ``(ng, nsplits, ndim)`` blocks (exactly
-  the reference's ``arange(n) % nsplits`` membership) and group
-  select/update are static strided slices — **no gathers, no scatters, no
-  sort** in the hot loop.  This is the performance configuration: fixed
-  split membership is the original Goodman & Weare (2010) parallel
-  algorithm and preserves detailed balance; the shuffle only decorrelates
-  group assignments.
+* with ``randomize_split=False``, the engine takes a gather-free fast
+  path: fixed contiguous-half membership (group j = walkers
+  [j*ng, (j+1)*ng)) makes group select/update static 2-D slices — **no
+  gathers, no scatters, no sort** in the hot loop.  This is the
+  performance configuration: fixed split membership is the original
+  Goodman & Weare (2010) parallel algorithm and preserves detailed
+  balance; the shuffle only decorrelates group assignments.
 * under walker sharding, membership is drawn per shard (every shard
   contributes equally to every group — statistically equivalent to a
   global shuffle) and complementary groups are all-gathered over the mesh

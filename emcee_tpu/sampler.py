@@ -23,10 +23,8 @@ backend resume), but the execution model is redesigned for XLA:
 
 from __future__ import annotations
 
-import math
 import time
 import warnings
-from functools import partial
 from typing import Any, Optional
 
 import jax
