@@ -1,0 +1,94 @@
+"""Functional kernel API.
+
+A pure-function facade over the move machinery for users who want to
+embed the ensemble step in their own ``jax.lax.scan`` / ``shard_map``
+pipelines instead of driving the :class:`EnsembleSampler` object — the
+TPU-idiomatic composition style (cf. blackjax kernels).
+
+Example::
+
+    import jax, jax.numpy as jnp
+    from emcee_tpu.kernels import build_kernel
+
+    init, step = build_kernel(log_prob, nwalkers=1024)
+    state = init(coords, jax.random.key(0))
+
+    def body(state, _):
+        state, accepted = step(state)
+        return state, state.coords
+
+    state, chain = jax.lax.scan(body, state, None, length=1000)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import moves as _moves_mod
+from .model import Model, wrap_log_prob_fn
+from .state import State
+
+__all__ = ["build_kernel"]
+
+
+def build_kernel(
+    log_prob_fn: Callable,
+    nwalkers: int,
+    move=None,
+    *,
+    vectorize: bool = False,
+    args=None,
+    kwargs=None,
+    axis_name: Optional[str] = None,
+    param_axis: Optional[str] = None,
+    ndim: Optional[int] = None,
+) -> Tuple[Callable, Callable]:
+    """Build ``(init_fn, step_fn)`` for one ensemble move.
+
+    Args:
+        log_prob_fn: as for :class:`EnsembleSampler`.
+        nwalkers: global walker count (for the red-blue guard).
+        move: a single move instance (default ``StretchMove()``).
+        axis_name / param_axis: mesh axis names when the returned step is
+            called inside ``shard_map`` (walker sharding / long-ndim
+            partial-sum mode).
+        ndim: global dimensionality (required with ``param_axis``).
+
+    Returns:
+        ``init_fn(coords, key) -> State`` evaluating initial log-probs,
+        and ``step_fn(state) -> (State, accepted)`` advancing one
+        proposal.  Both are jit/scan/shard_map-compatible pure functions.
+    """
+    if move is None:
+        move = _moves_mod.StretchMove()
+    compute = wrap_log_prob_fn(
+        log_prob_fn, args=args, kwargs=kwargs, vectorize=vectorize
+    )
+    model = Model(
+        compute_log_prob=compute,
+        axis_name=axis_name,
+        nwalkers=int(nwalkers),
+        param_axis=param_axis,
+        ndim=ndim,
+    )
+    carry0 = move.init_carry(int(nwalkers), ndim or 0)
+
+    def init_fn(coords, key) -> State:
+        lp, blobs = compute(jnp.asarray(coords))
+        return State(
+            coords=jnp.asarray(coords),
+            log_prob=lp,
+            blobs=blobs,
+            random_state=key,
+        )
+
+    def step_fn(state: State, carry=carry0):
+        key, k_prop = jax.random.split(state.random_state)
+        state = state._replace(random_state=key)
+        new_state, accepted, _ = move.propose(k_prop, state, model, carry)
+        return new_state, accepted
+
+    return init_fn, step_fn

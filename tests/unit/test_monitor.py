@@ -60,3 +60,26 @@ def test_run_stats():
     assert stats.walltime_s > 0
     assert stats.walker_steps_per_sec > 0
     assert "walker-steps/s" in stats.summary()
+
+
+def test_functional_kernel_api():
+    """build_kernel: pure init/step composable into a user scan."""
+    from emcee_tpu.kernels import build_kernel
+
+    nw, nd = 32, 3
+    init, step = build_kernel(normal_log_prob, nwalkers=nw)
+    coords = jax.random.normal(jax.random.key(0), (nw, nd))
+    state = init(coords, jax.random.key(1))
+
+    def body(state, _):
+        state, accepted = step(state)
+        return state, (state.coords, accepted)
+
+    state, (chain, accs) = jax.jit(
+        lambda s: jax.lax.scan(body, s, None, length=1500)
+    )(state)
+    chain = np.asarray(chain[500:]).reshape(-1, nd)
+    assert np.all(np.abs(chain.mean(0)) < 0.1)
+    assert np.all(np.abs(chain.std(0) - 1) < 0.08)
+    acc_rate = np.asarray(accs).mean()
+    assert 0.1 < acc_rate < 0.9
