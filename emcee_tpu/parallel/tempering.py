@@ -790,6 +790,35 @@ class PTSampler:
         self._previous_state = state
         return state
 
+    def sample(
+        self,
+        initial_state,
+        iterations=1,
+        thin_by=1,
+        store=True,
+        skip_initial_state_check=False,
+    ):
+        """Generator yielding a :class:`PTState` every ``thin_by`` proposals
+        (the v1.2-era ``PTSampler.sample`` surface).  ``iterations=None``
+        streams forever with ``store=False``."""
+        if iterations is None and store:
+            raise ValueError(
+                "'store' must be False when 'iterations' is None"
+            )
+        state = initial_state
+        i = 0
+        while iterations is None or i < iterations:
+            state = self.run_mcmc(
+                state,
+                1,
+                thin_by=thin_by,
+                store=store,
+                skip_initial_state_check=skip_initial_state_check or i > 0,
+            )
+            i += 1
+            yield state
+            state = None  # continue from previous state
+
     # ------------------------------------------------------------------
     @property
     def acceptance_fraction(self):

@@ -143,3 +143,15 @@ def test_log_evidence_gaussian():
     lnz = pt.log_evidence_estimate(discard=1000)
     true = np.log(np.sqrt(2 * np.pi) / 20.0)
     assert abs(lnz - true) < 0.25
+
+
+def test_pt_sample_generator():
+    T, nw, nd = 4, 16, 2
+    pt = PTSampler(T, nw, nd, log_like_bimodal, log_prior_box, seed=0)
+    coords = jax.random.normal(jax.random.key(0), (T, nw, nd))
+    n = 0
+    for state in pt.sample(coords, iterations=5):
+        n += 1
+        assert state.coords.shape == (T, nw, nd)
+    assert n == 5
+    assert pt.iteration == 5
