@@ -118,3 +118,27 @@ def test_mesh_divisibility_check():
     mesh = walker_mesh()
     with pytest.raises(ValueError):
         EnsembleSampler(30, 3, normal_log_prob, seed=0, mesh=mesh)
+
+
+def test_sharded_tau_matches_dense():
+    """Integrated autocorrelation time: sharded == dense within noise.
+
+    Stronger than moment checks — tau is sensitive to any corruption of
+    the complement exchange or per-shard key discipline.
+    """
+    nwalkers, ndim, nsteps = 64, 2, 3000
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(9), (nwalkers, ndim))
+    )
+
+    dense = EnsembleSampler(nwalkers, ndim, normal_log_prob, seed=1)
+    dense.run_mcmc(coords, nsteps)
+    tau_d = dense.get_autocorr_time(discard=500, quiet=True)
+
+    sharded = EnsembleSampler(
+        nwalkers, ndim, normal_log_prob, seed=1, mesh=walker_mesh()
+    )
+    sharded.run_mcmc(coords, nsteps)
+    tau_s = sharded.get_autocorr_time(discard=500, quiet=True)
+
+    assert np.all(np.abs(tau_s - tau_d) / tau_d < 0.5), (tau_d, tau_s)
