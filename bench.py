@@ -25,7 +25,7 @@ BASELINE_WALKER_STEPS_PER_SEC = 140.0 * 32.0  # reference monitor.ipynb anchor
 
 def main():
     nwalkers, ndim = 100_000, 5
-    nsteps = 128
+    nsteps = 256
 
     def log_prob(x):
         return -0.5 * jnp.sum(x**2, axis=-1)
@@ -42,7 +42,7 @@ def main():
         vectorize=True,
         seed=0,
         moves=moves.StretchMove(randomize_split=False, pair_mode="roll"),
-        scan_unroll=8,
+        scan_unroll=16,
     )
     coords = jax.random.normal(jax.random.key(1), (nwalkers, ndim))
     state = sampler._prepare_state(
