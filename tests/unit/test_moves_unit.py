@@ -142,3 +142,33 @@ def test_gaussian_sequential_carry_cycles():
         assert len(dims) <= 1
         seen.append(int(carry))
     assert seen == [1, 2, 0, 1]  # cycles mod ndim
+
+
+def test_kde_logpdf_matches_scipy():
+    """KDE factor computation must agree with scipy.stats.gaussian_kde."""
+    scipy_stats = pytest.importorskip("scipy.stats")
+
+    rng = np.random.default_rng(0)
+    c = rng.normal(size=(40, 3))
+    x = rng.normal(size=(7, 3))
+
+    kde = scipy_stats.gaussian_kde(c.T)  # Scott's rule
+    expected = kde.logpdf(x.T)
+
+    from emcee_tpu.moves.kde import KDEMove
+
+    move = KDEMove()
+    factor = move._factor(c.shape[0], c.shape[1])
+    cc = c - c.mean(0)
+    kcov = factor**2 * (cc.T @ cc) / (c.shape[0] - 1)
+    chol = np.linalg.cholesky(kcov)
+    got = np.asarray(
+        KDEMove._logpdf(
+            jnp.asarray(x, jnp.float64)
+            if jax.config.jax_enable_x64
+            else jnp.asarray(x, jnp.float32),
+            jnp.asarray(c, jnp.float32),
+            jnp.asarray(chol, jnp.float32),
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=2e-4)
