@@ -8,7 +8,7 @@ streaming.  Public surface mirrors the reference
 (``/root/reference/src/emcee/__init__.py:22-36``).
 """
 
-from . import autocorr, backends, kernels, moves
+from . import autocorr, backends, checkpoint, kernels, moves
 from .monitor import ConvergenceMonitor, run_until_converged
 from .ops.autocorr import AutocorrError
 from .parallel.tempering import PTSampler
@@ -27,6 +27,7 @@ __all__ = [
     "AutocorrError",
     "moves",
     "kernels",
+    "checkpoint",
     "autocorr",
     "backends",
     "__version__",

@@ -56,11 +56,21 @@ def _run(move, nwalkers=64, ndim=8, nsteps=800, seed=0):
     [
         moves.StretchMove(),
         moves.StretchMove(randomize_split=False),
+        moves.StretchMove(randomize_split=False, pair_mode="roll"),
         moves.DEMove(),
+        moves.DEMove(randomize_split=False, pair_mode="roll"),
         moves.DESnookerMove(),
         moves.GaussianMove(0.5),
     ],
-    ids=["stretch", "stretch-blocked", "de", "snooker", "gaussian"],
+    ids=[
+        "stretch",
+        "stretch-blocked",
+        "stretch-roll",
+        "de",
+        "de-roll",
+        "snooker",
+        "gaussian",
+    ],
 )
 def test_param_sharded_statistics(move):
     sampler = _run(move, nsteps=1200)
