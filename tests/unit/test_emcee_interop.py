@@ -128,3 +128,65 @@ def test_we_read_reference_hdf(tmp_path):
     np.testing.assert_allclose(
         np.asarray(last.coords), s.get_last_sample().coords
     )
+
+
+def test_line_fit_matches_reference():
+    """The line-fit tutorial workload: same data, both samplers, same
+    posterior (medians within combined MC error) and comparable tau."""
+    rng = np.random.default_rng(123)
+    N = 50
+    m_true, b_true, f_true = -0.9594, 4.294, 0.534
+    x = np.sort(10 * rng.uniform(size=N))
+    yerr = 0.1 + 0.5 * rng.uniform(size=N)
+    y = m_true * x + b_true
+    y += np.abs(f_true * y) * rng.normal(size=N)
+    y += yerr * rng.normal(size=N)
+
+    def np_log_prob(theta):
+        m, b, log_f = theta
+        if not (-5 < m < 0.5 and 0 < b < 10 and -10 < log_f < 1):
+            return -np.inf
+        model = m * x + b
+        s2 = yerr**2 + np.exp(2 * log_f) * model**2
+        return -0.5 * np.sum((y - model) ** 2 / s2 + np.log(s2))
+
+    xj, yj, yerrj = map(jnp.asarray, (x, y, yerr))
+
+    def jx_log_prob(theta):
+        m, b, log_f = theta[0], theta[1], theta[2]
+        ok = (
+            (-5.0 < m) & (m < 0.5)
+            & (0.0 < b) & (b < 10.0)
+            & (-10.0 < log_f) & (log_f < 1.0)
+        )
+        model = m * xj + b
+        s2 = yerrj**2 + jnp.exp(2 * log_f) * model**2
+        ll = -0.5 * jnp.sum((yj - model) ** 2 / s2 + jnp.log(s2))
+        return jnp.where(ok, ll, -jnp.inf)
+
+    nwalkers, ndim, nsteps = 32, 3, 5000
+    p0 = np.array([-1.0, 4.5, -0.7]) + 1e-4 * rng.normal(
+        size=(nwalkers, ndim)
+    )
+
+    ref = emcee.EnsembleSampler(nwalkers, ndim, np_log_prob)
+    ref.run_mcmc(p0, nsteps, progress=False)
+    ours = emcee_tpu.EnsembleSampler(nwalkers, ndim, jx_log_prob, seed=11)
+    ours.run_mcmc(p0, nsteps)
+
+    rf = ref.get_chain(flat=True, discard=1000, thin=5)
+    of = np.asarray(ours.get_chain(flat=True, discard=1000, thin=5))
+    ref_med = np.percentile(rf, 50, axis=0)
+    our_med = np.percentile(of, 50, axis=0)
+    ref_std = rf.std(axis=0)
+    assert np.all(np.abs(ref_med - our_med) < 0.5 * ref_std), (
+        ref_med,
+        our_med,
+    )
+
+    ref_tau = emcee.autocorr.integrated_time(ref.get_chain(), quiet=True)
+    our_tau = ours.get_autocorr_time(quiet=True)
+    assert np.all(np.abs(ref_tau - our_tau) / ref_tau < 0.6), (
+        ref_tau,
+        our_tau,
+    )
