@@ -32,9 +32,16 @@ class GaussianMove(MHMove):
         factor: optional random scale range; stddev is multiplied by
             ``exp(U(-log factor, log factor))``.  Invalid for matrix
             covariance (reference ``_proposal.allowed_modes``).
+        tune_target: optional target acceptance rate; with
+            ``run_mcmc(..., tune=True)`` the proposal scale adapts by
+            Robbins-Monro toward it (the reference exposes the tune hook,
+            ``moves/move.py:9-10``, but ships no tuning move; 0.234 is
+            the classic high-dim optimum, ~0.44 for 1-D).
+        tune_rate: adaptation step size (decays as 1/sqrt(t)).
     """
 
-    def __init__(self, cov, mode="vector", factor=None):
+    def __init__(self, cov, mode="vector", factor=None, tune_target=None,
+                 tune_rate=0.2):
         self._full_cov = None
         self._scale = None
         ndim = None
@@ -70,6 +77,8 @@ class GaussianMove(MHMove):
         if factor is not None and factor < 1.0:
             raise ValueError("'factor' must be >= 1.0")
         self._log_factor = None if factor is None else np.log(factor)
+        self.tune_target = tune_target
+        self.tune_rate = float(tune_rate)
         self.mode = mode
         super().__init__(self._make_proposal(), ndim=ndim)
         # Only the isotropic whole-vector update is well-defined when the
@@ -82,9 +91,26 @@ class GaussianMove(MHMove):
         )
 
     def init_carry(self, nwalkers, ndim):
+        carry = {}
         if self.mode == "sequential":
-            return jnp.zeros((), dtype=jnp.int32)
-        return ()
+            carry["index"] = jnp.zeros((), dtype=jnp.int32)
+        if self.tune_target is not None:
+            carry["log_adj"] = jnp.zeros((), dtype=jnp.float32)
+            carry["t"] = jnp.zeros((), dtype=jnp.int32)
+        return carry
+
+    def tune(self, carry, state, accepted):
+        """Robbins-Monro scale adaptation toward ``tune_target``."""
+        if self.tune_target is None:
+            return carry
+        t = carry["t"]
+        lr = self.tune_rate / jnp.sqrt(1.0 + t.astype(jnp.float32))
+        err = jnp.mean(accepted.astype(jnp.float32)) - self.tune_target
+        return {
+            **carry,
+            "log_adj": jnp.clip(carry["log_adj"] + lr * err, -10.0, 10.0),
+            "t": t + 1,
+        }
 
     def _make_proposal(self):
         mode = self.mode
@@ -103,6 +129,8 @@ class GaussianMove(MHMove):
                         k_f, (), minval=-log_factor, maxval=log_factor
                     )
                 )
+            if "log_adj" in carry:
+                f = f * jnp.exp(carry["log_adj"])
             z = jax.random.normal(k_n, (nw, nd), dtype=x0.dtype)
             if chol is not None:
                 step = z @ jnp.asarray(chol, dtype=x0.dtype).T
@@ -116,8 +144,10 @@ class GaussianMove(MHMove):
             if mode == "random":
                 dims = jax.random.randint(k_m, (nw,), 0, nd)
             else:  # sequential: same dim for all walkers, cycling
-                dims = jnp.full((nw,), carry % nd, dtype=jnp.int32)
-                carry = (carry + 1) % nd
+                dims = jnp.full(
+                    (nw,), carry["index"] % nd, dtype=jnp.int32
+                )
+                carry = {**carry, "index": (carry["index"] + 1) % nd}
             mask = jax.nn.one_hot(dims, nd, dtype=bool)
             q = jnp.where(mask, xnew, x0)
             return q, factors, carry

@@ -322,6 +322,7 @@ class EnsembleSampler:
         """Clear the backend chain (reference ensemble.py:244-249)."""
         self.backend.reset(self.nwalkers, self.ndim)
         self._previous_state = None
+        self._move_carries = None
 
     def compute_log_prob(self, coords):
         """Evaluate the batched log-prob with host-side NaN/inf guards.
@@ -602,7 +603,9 @@ class EnsembleSampler:
             raise ValueError("Invalid thinning argument")
 
         state = self._prepare_state(initial_state, skip_initial_state_check)
-        carries = self._init_carries()
+        carries = getattr(self, "_move_carries", None)
+        if carries is None:
+            carries = self._init_carries()
         blobs_struct = self._blobs_struct(state)
 
         if store:
@@ -626,6 +629,7 @@ class EnsembleSampler:
                     )
                 pbar.update(thin_by)
                 i += 1
+                self._move_carries = carries
                 self._previous_state = state
                 yield state
 
@@ -658,7 +662,12 @@ class EnsembleSampler:
         nsteps = int(nsteps)
 
         state = self._prepare_state(initial_state, skip_check)
-        carries = self._init_carries()
+        # Move carries (e.g. tuned proposal scales, sequential dim
+        # counters) persist across calls like the reference's stateful
+        # move objects; reset() clears them.
+        carries = getattr(self, "_move_carries", None)
+        if carries is None:
+            carries = self._init_carries()
         blobs_struct = self._blobs_struct(state)
 
         if store:
@@ -698,6 +707,7 @@ class EnsembleSampler:
         jax.block_until_ready(state.coords)
         stats.walltime_s = time.perf_counter() - t_run
         self.last_run_stats = stats
+        self._move_carries = carries
         self._previous_state = state
         return state
 

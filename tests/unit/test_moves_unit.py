@@ -140,7 +140,7 @@ def test_gaussian_sequential_carry_cycles():
         # Only a single dimension may change per proposal.
         dims = set(np.nonzero(changed.any(axis=0))[0].tolist())
         assert len(dims) <= 1
-        seen.append(int(carry))
+        seen.append(int(carry["index"]))
     assert seen == [1, 2, 0, 1]  # cycles mod ndim
 
 
@@ -172,3 +172,39 @@ def test_kde_logpdf_matches_scipy():
         )
     )
     np.testing.assert_allclose(got, expected, rtol=2e-4)
+
+
+def test_gaussian_tune_targets_acceptance():
+    """tune=True drives acceptance toward tune_target."""
+    from emcee_tpu import EnsembleSampler
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    nw, nd = 32, 4
+    # Grossly oversized proposal: untuned acceptance would be tiny.
+    move = moves.GaussianMove(25.0, tune_target=0.3)
+    s = EnsembleSampler(nw, nd, lp, moves=move, seed=0)
+    p0 = np.random.default_rng(0).normal(size=(nw, nd))
+    s.run_mcmc(p0, 1500, tune=True)
+    acc_late = np.asarray(s.backend.accepted, dtype=float)
+    # Overall acceptance includes the bad early phase; check a fresh
+    # window by continuing and differencing.
+    before = s.backend.accepted.copy()
+    s.run_mcmc(None, 500, tune=True)
+    late = (s.backend.accepted - before) / 500.0
+    assert 0.15 < late.mean() < 0.45, late.mean()
+
+
+def test_gaussian_untuned_oversized_is_stuck():
+    """Control: without tuning the oversized proposal barely accepts."""
+    from emcee_tpu import EnsembleSampler
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    nw, nd = 32, 4
+    s = EnsembleSampler(nw, nd, lp, moves=moves.GaussianMove(25.0), seed=0)
+    p0 = np.random.default_rng(0).normal(size=(nw, nd))
+    s.run_mcmc(p0, 500)
+    assert s.acceptance_fraction.mean() < 0.05
