@@ -142,3 +142,19 @@ def test_sharded_tau_matches_dense():
     tau_s = sharded.get_autocorr_time(discard=500, quiet=True)
 
     assert np.all(np.abs(tau_s - tau_d) / tau_d < 0.5), (tau_d, tau_s)
+
+
+def test_sharded_generator():
+    mesh = walker_mesh()
+    s = EnsembleSampler(
+        64, 3, normal_log_prob, seed=0, mesh=mesh
+    )
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(4), (64, 3))
+    )
+    n = 0
+    for state in s.sample(coords, iterations=4, thin_by=2):
+        n += 1
+    assert n == 4
+    assert s.iteration == 4
+    assert s.get_chain().shape == (4, 64, 3)
