@@ -190,3 +190,22 @@ def test_line_fit_matches_reference():
         ref_tau,
         our_tau,
     )
+
+
+def test_integrated_time_matches_reference_exactly():
+    """Same chain through both tau estimators: identical to float tolerance
+    (same FFT-ACF + Sokal windowing algorithm)."""
+    rng = np.random.default_rng(5)
+    n, nw, nd = 4000, 8, 3
+    x = np.empty((n, nw, nd))
+    x[0] = rng.normal(size=(nw, nd))
+    for i in range(1, n):
+        x[i] = 0.9 * x[i - 1] + rng.normal(size=(nw, nd))
+
+    ref_tau = emcee.autocorr.integrated_time(x, quiet=True)
+    our_tau = emcee_tpu.autocorr.integrated_time(x, quiet=True)
+    np.testing.assert_allclose(our_tau, ref_tau, rtol=1e-4)
+
+    acf_ref = emcee.autocorr.function_1d(x[:, 0, 0])
+    acf_ours = emcee_tpu.autocorr.function_1d(x[:, 0, 0])
+    np.testing.assert_allclose(acf_ours, acf_ref, atol=1e-5)

@@ -83,3 +83,15 @@ def test_functional_kernel_api():
     assert np.all(np.abs(chain.std(0) - 1) < 0.08)
     acc_rate = np.asarray(accs).mean()
     assert 0.1 < acc_rate < 0.9
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from emcee_tpu.profiling import trace
+
+    sampler = EnsembleSampler(8, 2, normal_log_prob, seed=0)
+    coords = np.asarray(jax.random.normal(jax.random.key(0), (8, 2)))
+    with trace(str(tmp_path)):
+        sampler.run_mcmc(coords, 5, skip_initial_state_check=True)
+    # A profile directory must have been produced.
+    produced = list(tmp_path.rglob("*"))
+    assert produced, "no trace output written"
