@@ -74,14 +74,6 @@ class Backend:
     def has_blobs(self):
         return self.blobs is not None
 
-    def _check_initialized(self):
-        if not self.initialized or self.chain is None and self.iteration == 0:
-            if not self.initialized:
-                raise AttributeError(
-                    "You must run the sampler with 'store == True' before "
-                    "accessing the results"
-                )
-
     def grow(self, ngrow, blobs):
         """Pre-allocate space for ``ngrow`` more steps.
 

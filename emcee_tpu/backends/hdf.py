@@ -1,26 +1,33 @@
 """HDF5 chain backend, on-disk layout compatible with the reference.
 
-Schema matches ``/root/reference/src/emcee/backends/hdf.py:105-144,203-241``
-so chains written here can be read by emcee's ``HDFBackend`` readers and
-analysis tooling: a named group holding attrs ``version``, ``nwalkers``,
-``ndim``, ``has_blobs``, ``iteration`` and resizable datasets ``accepted``,
-``chain``, ``log_prob`` (and ``blobs`` when present).  Differences:
+The on-disk *schema* matches the reference
+(``/root/reference/src/emcee/backends/hdf.py:105-144,203-241``) so chains
+written here load through emcee's ``HDFBackend`` readers and analysis
+tooling: a named group holding attrs ``version``, ``nwalkers``, ``ndim``,
+``has_blobs``, ``iteration`` and resizable datasets ``accepted``, ``chain``,
+``log_prob`` (plus ``blobs`` when present).  Execution-model differences:
 
-* writes land per *chunk* (one file-open + one resize per jitted scan chunk)
-  rather than per step (``hdf.py:243-267`` re-opens the file every
-  iteration);
+* writes land per *chunk* (one file transaction per jitted scan chunk)
+  rather than per step (the reference re-opens the file every iteration,
+  ``hdf.py:243-267``);
 * the RNG state attr is JAX PRNG key data (``jax_random_state``) instead of
-  serialized MT19937 attrs — a reference reader simply sees no
-  ``random_state`` and continues, same as for pre-existing files;
-* pytree blobs with more than one leaf are stored under a ``blobs`` group
-  with one dataset per leaf (a single-array blob stays a single ``blobs``
-  dataset, matching the reference layout).
+  serialized MT19937 attrs — a reference reader sees no ``random_state``
+  and continues, the same as for a pre-v3 file;
+* blob pytrees are flattened into a single ``blobs`` dataset of shape
+  ``(iteration, nwalkers)``: a lone array leaf keeps its plain dtype
+  (reference single-blob layout) and multi-leaf pytrees become one
+  structured (compound) dtype with one field per leaf — readable by the
+  reference's ``get_blobs`` as a named record array.  Field names come
+  from the sampler's ``blobs_dtype`` declaration when given, from dict
+  keys for flat dict blobs, and default to ``blob{i}`` otherwise.  The
+  original pytree kind (leaf / tuple / dict) is recorded in a
+  ``blobs_kind`` attr so ``get_last_sample`` can rebuild the pytree for
+  resume.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import numpy as np
@@ -36,6 +43,64 @@ except ImportError:
 __all__ = ["HDFBackend", "TempHDFBackend"]
 
 
+def _flatten_blobs(blobs):
+    """Flatten a blob pytree -> (leaves, kind, names).
+
+    ``kind`` is one of ``"leaf"`` (single array), ``"tuple"`` (flat
+    sequence), ``"dict"`` (flat string-keyed mapping) or ``"other"``
+    (anything nested — stored flattened, restored as a tuple).
+    """
+    if isinstance(blobs, dict):
+        names = sorted(blobs)
+        vals = [blobs[k] for k in names]
+        if all(not isinstance(v, (dict, tuple, list)) for v in vals):
+            return [np.asarray(v) for v in vals], "dict", list(names)
+    if isinstance(blobs, (tuple, list)):
+        if all(not isinstance(v, (dict, tuple, list)) for v in blobs):
+            return [np.asarray(v) for v in blobs], "tuple", None
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(blobs)]
+    if len(leaves) == 1 and not isinstance(blobs, (dict, tuple, list)):
+        return leaves, "leaf", None
+    return leaves, "other", None
+
+
+def _blob_record_dtype(leaves, names, declared=None):
+    """Compound dtype with one field per leaf; leaf shape past the walker
+    axis becomes the field's sub-shape (h5py stores it natively and the
+    reference reader gets a normal numpy record array back).  Base dtypes
+    follow the ``declared`` blobs_dtype when given, else the leaves."""
+    fields = []
+    for i, (name, leaf) in enumerate(zip(names, leaves)):
+        base = leaf.dtype
+        if declared is not None and declared.names is not None:
+            base = declared[declared.names[i]].base
+        fields.append((name, base, leaf.shape[1:]))
+    return np.dtype(fields)
+
+
+def _pack_records(leaves, names, lead_ndim):
+    """Pack per-leaf arrays into one structured array over the leading
+    ``lead_ndim`` axes (1 for a per-walker row, 2 for a chunk)."""
+    lead = leaves[0].shape[:lead_ndim]
+    dtype = np.dtype(
+        [
+            (name, leaf.dtype, leaf.shape[lead_ndim:])
+            for name, leaf in zip(names, leaves)
+        ]
+    )
+    out = np.empty(lead, dtype=dtype)
+    for name, leaf in zip(names, leaves):
+        out[name] = leaf
+    return out
+
+
+def _unpack_records(row, kind, names):
+    """Rebuild the stored pytree kind from one structured record row."""
+    if kind == "dict":
+        return {n: np.asarray(row[n]) for n in names}
+    return tuple(np.asarray(row[n]) for n in names)
+
+
 class HDFBackend(Backend):
     """A backend that stores the chain in an HDF5 file.
 
@@ -43,9 +108,13 @@ class HDFBackend(Backend):
         filename: path of the HDF5 file.
         name: group name holding this run (multiple named runs per file are
             supported, reference ``hdf.py:60``).
-        read_only: open the file read-only.
+        read_only: refuse write access when True.
         compression / compression_opts: passed to dataset creation.
     """
+
+    #: optional [(name, dtype), ...] declaration used to name blob fields
+    #: on disk; the sampler forwards its ``blobs_dtype`` argument here.
+    blobs_dtype = None
 
     def __init__(
         self,
@@ -63,12 +132,8 @@ class HDFBackend(Backend):
         self.read_only = read_only
         self.compression = compression
         self.compression_opts = compression_opts
-        if dtype is None:
-            self.dtype_set = False
-            self.dtype = np.float64
-        else:
-            self.dtype_set = True
-            self.dtype = dtype
+        self.dtype_set = dtype is not None
+        self.dtype = np.float64 if dtype is None else dtype
 
     @property
     def initialized(self):
@@ -81,67 +146,75 @@ class HDFBackend(Backend):
             return False
 
     def open(self, mode="r"):
-        if self.read_only and mode != "r":
+        if mode != "r" and self.read_only:
             raise RuntimeError(
                 "The backend has been loaded in read-only "
                 "mode. Set `read_only = False` to make "
                 "changes."
             )
         f = h5py.File(self.filename, mode)
-        if not self.dtype_set and self.name in f:
-            g = f[self.name]
-            if "chain" in g:
-                self.dtype = g["chain"].dtype
+        # Adopt the on-file chain dtype the first time an existing run is
+        # seen, so appends keep the stored precision.
+        if not self.dtype_set:
+            run = f.get(self.name)
+            if run is not None and "chain" in run:
+                self.dtype = run["chain"].dtype
                 self.dtype_set = True
         return f
 
+    def _dataset_opts(self):
+        return dict(
+            compression=self.compression,
+            compression_opts=self.compression_opts,
+        )
+
     def reset(self, nwalkers, ndim):
+        """Drop any existing run group and lay out an empty one."""
+        nw, nd = int(nwalkers), int(ndim)
+        attrs = {
+            "version": "tpu-0",
+            "nwalkers": nw,
+            "ndim": nd,
+            "has_blobs": False,
+            "iteration": 0,
+        }
+        growable = {"chain": (nw, nd), "log_prob": (nw,)}
         with self.open("a") as f:
             if self.name in f:
                 del f[self.name]
             g = f.create_group(self.name)
-            g.attrs["version"] = "tpu-0"
-            g.attrs["nwalkers"] = int(nwalkers)
-            g.attrs["ndim"] = int(ndim)
-            g.attrs["has_blobs"] = False
-            g.attrs["iteration"] = 0
+            g.attrs.update(attrs)
             g.create_dataset(
-                "accepted",
-                data=np.zeros(int(nwalkers)),
-                compression=self.compression,
-                compression_opts=self.compression_opts,
+                "accepted", data=np.zeros(nw), **self._dataset_opts()
             )
-            g.create_dataset(
-                "chain",
-                (0, int(nwalkers), int(ndim)),
-                maxshape=(None, int(nwalkers), int(ndim)),
-                dtype=self.dtype,
-                compression=self.compression,
-                compression_opts=self.compression_opts,
-            )
-            g.create_dataset(
-                "log_prob",
-                (0, int(nwalkers)),
-                maxshape=(None, int(nwalkers)),
-                dtype=self.dtype,
-                compression=self.compression,
-                compression_opts=self.compression_opts,
-            )
+            for dsname, tail in growable.items():
+                g.create_dataset(
+                    dsname,
+                    shape=(0,) + tail,
+                    maxshape=(None,) + tail,
+                    dtype=self.dtype,
+                    **self._dataset_opts(),
+                )
+
+    def _read_attr(self, key):
+        with self.open() as f:
+            return f[self.name].attrs[key]
 
     @property
     def nwalkers(self):
-        with self.open() as f:
-            return int(f[self.name].attrs["nwalkers"])
+        return int(self._read_attr("nwalkers"))
 
     @property
     def ndim(self):
-        with self.open() as f:
-            return int(f[self.name].attrs["ndim"])
+        return int(self._read_attr("ndim"))
 
     @property
     def iteration(self):
-        with self.open() as f:
-            return int(f[self.name].attrs["iteration"])
+        return int(self._read_attr("iteration"))
+
+    @property
+    def has_blobs(self):
+        return bool(self._read_attr("has_blobs"))
 
     @property
     def accepted(self):
@@ -149,92 +222,107 @@ class HDFBackend(Backend):
             return np.asarray(f[self.name]["accepted"])
 
     @property
-    def has_blobs(self):
-        with self.open() as f:
-            return bool(f[self.name].attrs["has_blobs"])
-
-    @property
     def random_state(self):
         with self.open() as f:
-            if "jax_random_state" in f[self.name].attrs:
-                return np.asarray(f[self.name].attrs["jax_random_state"])
-        return None
+            data = f[self.name].attrs.get("jax_random_state")
+            return None if data is None else np.asarray(data)
 
     @property
     def shape(self):
         return (self.nwalkers, self.ndim)
 
+    def _blob_field_names(self, leaves, kind, names):
+        """Dataset field names: declared blobs_dtype first, then dict keys,
+        then positional blob{i}."""
+        if self.blobs_dtype is not None:
+            declared = np.dtype(self.blobs_dtype).names
+            if declared is not None and len(declared) == len(leaves):
+                return list(declared)
+        if names is not None:
+            return names
+        return [f"blob{i}" for i in range(len(leaves))]
+
     def grow(self, ngrow, blobs):
+        """Extend capacity by ``ngrow`` steps; ``blobs`` is an example
+        per-walker blob pytree (leaves shaped ``(nwalkers, ...)``) used to
+        lay out blob storage the first time blobs appear."""
         with self.open("a") as f:
             g = f[self.name]
-            it = int(g.attrs["iteration"])
-            ntot = it + int(ngrow)
+            ntot = int(g.attrs["iteration"]) + int(ngrow)
             g["chain"].resize(ntot, axis=0)
             g["log_prob"].resize(ntot, axis=0)
-            if blobs is not None:
-                leaves, treedef = jax.tree_util.tree_flatten(
-                    jax.tree_util.tree_map(np.asarray, blobs)
+            if blobs is None:
+                return
+            if g.attrs["has_blobs"]:
+                g["blobs"].resize(ntot, axis=0)
+                return
+            leaves, kind, names = _flatten_blobs(blobs)
+            names = self._blob_field_names(leaves, kind, names)
+            nw = int(g.attrs["nwalkers"])
+            if any(leaf.shape[0] != nw for leaf in leaves):
+                raise ValueError(
+                    "blob example passed to grow() must have leading "
+                    f"nwalkers={nw} axis; got shapes "
+                    f"{[leaf.shape for leaf in leaves]}"
                 )
-                single = (
-                    treedef.num_leaves == 1
-                    and jax.tree_util.treedef_is_leaf(treedef)
-                )
-                if not g.attrs["has_blobs"]:
-                    g.attrs["has_blobs"] = True
-                    nw = int(g.attrs["nwalkers"])
-                    if single:
-                        b = leaves[0]
-                        g.create_dataset(
-                            "blobs",
-                            (ntot, nw) + b.shape[1:],
-                            maxshape=(None, nw) + b.shape[1:],
-                            dtype=b.dtype,
-                            compression=self.compression,
-                            compression_opts=self.compression_opts,
-                        )
-                    else:
-                        bg = g.create_group("blobs")
-                        for i, b in enumerate(leaves):
-                            bg.create_dataset(
-                                f"leaf{i}",
-                                (ntot, nw) + b.shape[1:],
-                                maxshape=(None, nw) + b.shape[1:],
-                                dtype=b.dtype,
-                                compression=self.compression,
-                                compression_opts=self.compression_opts,
-                            )
-                else:
-                    if isinstance(g["blobs"], h5py.Dataset):
-                        g["blobs"].resize(ntot, axis=0)
-                    else:
-                        for ds in g["blobs"].values():
-                            ds.resize(ntot, axis=0)
+            declared = None
+            if self.blobs_dtype is not None:
+                d = np.dtype(self.blobs_dtype)
+                if d.names is not None and len(d.names) == len(leaves):
+                    declared = d
+            if kind == "leaf":
+                dt = np.dtype((leaves[0].dtype, leaves[0].shape[1:]))
+            else:
+                dt = _blob_record_dtype(leaves, names, declared)
+            g.create_dataset(
+                "blobs",
+                shape=(ntot, nw),
+                maxshape=(None, nw),
+                dtype=dt,
+                **self._dataset_opts(),
+            )
+            g.attrs["has_blobs"] = True
+            g.attrs["blobs_kind"] = kind
+            g.attrs["blobs_fields"] = names
+
+    def _blobs_to_rows(self, g, blobs, k):
+        """Chunk blob pytree -> (k, nwalkers) array matching the dataset."""
+        leaves, kind, _ = _flatten_blobs(blobs)
+        stored_kind = g.attrs.get("blobs_kind", "leaf")
+        if stored_kind == "leaf":
+            return np.asarray(leaves[0])
+        names = list(g.attrs["blobs_fields"])
+        if len(names) != len(leaves):
+            raise ValueError(
+                f"blob structure changed: file stores {len(names)} fields, "
+                f"got {len(leaves)} leaves"
+            )
+        return _pack_records(leaves, names, lead_ndim=2)
 
     def save_chunk(self, coords, log_prob, blobs, accepted, random_state):
         coords = np.asarray(coords)
         k = coords.shape[0]
-        with self.open("a") as f:
+        # Capacity / blob-layout bookkeeping happens in its own
+        # transaction (grow opens the file itself), so the write below
+        # holds exactly one handle.
+        with self.open() as f:
             g = f[self.name]
             it = int(g.attrs["iteration"])
-            if it + k > g["chain"].shape[0]:
-                f.close()
-                self.grow(it + k - g["chain"].shape[0], blobs)
-                f = self.open("a")
-                g = f[self.name]
+            short = it + k - g["chain"].shape[0]
+            need_blob_init = blobs is not None and not g.attrs["has_blobs"]
+        if short > 0 or need_blob_init:
+            example = None
+            if blobs is not None:
+                example = jax.tree_util.tree_map(
+                    lambda b: np.asarray(b)[0], blobs
+                )
+            self.grow(max(short, 0), example)
+        with self.open("a") as f:
+            g = f[self.name]
             g["chain"][it : it + k] = coords
             g["log_prob"][it : it + k] = np.asarray(log_prob)
             if blobs is not None:
-                if not g.attrs["has_blobs"]:
-                    raise ValueError(
-                        "inconsistent use of blobs: call grow() with the "
-                        "blob structure first"
-                    )
-                leaves = jax.tree_util.tree_leaves(blobs)
-                if isinstance(g["blobs"], h5py.Dataset):
-                    g["blobs"][it : it + k] = np.asarray(leaves[0])
-                else:
-                    for i, b in enumerate(leaves):
-                        g["blobs"][f"leaf{i}"][it : it + k] = np.asarray(b)
+                g["blobs"][it : it + k] = self._blobs_to_rows(g, blobs, k)
             g["accepted"][...] = np.asarray(g["accepted"]) + np.asarray(
                 accepted
             ).sum(axis=0)
@@ -259,21 +347,12 @@ class HDFBackend(Backend):
                 )
             if name == "blobs" and not g.attrs["has_blobs"]:
                 return None
-
-            def slice_ds(ds):
-                v = ds[discard + thin - 1 : iteration : thin]
-                if flat:
-                    s = list(v.shape[1:])
-                    s[0] = np.prod(v.shape[:2])
-                    return v.reshape(s)
-                return v
-
-            if name == "blobs" and not isinstance(g["blobs"], h5py.Dataset):
-                return tuple(
-                    slice_ds(g["blobs"][f"leaf{i}"])
-                    for i in range(len(g["blobs"]))
-                )
-            return slice_ds(g[name])
+            v = g[name][discard + thin - 1 : iteration : thin]
+            if flat:
+                s = list(v.shape[1:])
+                s[0] = np.prod(v.shape[:2])
+                return v.reshape(s)
+            return v
 
     def get_last_sample(self) -> State:
         it = self.iteration
@@ -286,12 +365,13 @@ class HDFBackend(Backend):
             g = f[self.name]
             blobs = None
             if g.attrs["has_blobs"]:
-                if isinstance(g["blobs"], h5py.Dataset):
-                    blobs = np.asarray(g["blobs"][it - 1])
+                row = g["blobs"][it - 1]
+                kind = g.attrs.get("blobs_kind", "leaf")
+                if kind == "leaf" or row.dtype.names is None:
+                    blobs = np.asarray(row)
                 else:
-                    blobs = tuple(
-                        np.asarray(g["blobs"][f"leaf{i}"][it - 1])
-                        for i in range(len(g["blobs"]))
+                    blobs = _unpack_records(
+                        row, kind, list(g.attrs["blobs_fields"])
                     )
             return State(
                 coords=np.asarray(g["chain"][it - 1]),

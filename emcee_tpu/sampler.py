@@ -152,6 +152,10 @@ class EnsembleSampler:
 
         self.backend = Backend() if backend is None else backend
         self.blobs_dtype = blobs_dtype
+        if blobs_dtype is not None:
+            # Backends that name blob fields on disk (HDFBackend) pick the
+            # declared names up from this attribute.
+            self.backend.blobs_dtype = blobs_dtype
 
         self.mesh = mesh
         self.walker_axis = walker_axis
@@ -290,23 +294,41 @@ class EnsembleSampler:
         return self.get_value("log_prob", **kwargs)
 
     def get_blobs(self, **kwargs):
-        blobs = self.get_value("blobs", **kwargs)
-        if blobs is None or self.blobs_dtype is None:
-            return blobs
+        if self.blobs_dtype is None:
+            return self.get_value("blobs", **kwargs)
         # Named blobs (reference ``blobs_dtype``, docs/user/blobs.rst):
-        # pack the blob pytree leaves into a structured array whose fields
-        # follow the declared [(name, dtype), ...] order.
-        dtype = np.dtype(self.blobs_dtype)
-        leaves = jax.tree_util.tree_leaves(blobs)
-        if len(leaves) != len(dtype.names):
-            raise ValueError(
-                f"blobs_dtype declares {len(dtype.names)} fields but the "
-                f"log-prob returns {len(leaves)} blobs"
+        # fetch unflattened so the leading (iteration, nwalkers) axes are
+        # unambiguous, pack the pytree leaves into a structured array whose
+        # fields follow the declared [(name, dtype), ...] order (leaf order
+        # = jax.tree_util.tree_leaves order), then flatten on request.
+        flat = kwargs.pop("flat", False)
+        blobs = self.get_value("blobs", **kwargs)
+        if blobs is None:
+            return None
+        if isinstance(blobs, np.ndarray) and blobs.dtype.names is not None:
+            out = blobs  # HDF backend already stores structured records
+        else:
+            declared = np.dtype(self.blobs_dtype)
+            leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(blobs)]
+            if len(leaves) != len(declared.names):
+                raise ValueError(
+                    f"blobs_dtype declares {len(declared.names)} fields but "
+                    f"the log-prob returns {len(leaves)} blobs"
+                )
+            # Field sub-shapes come from the stored leaves (everything past
+            # the (iteration, nwalkers) lead), base dtypes from the
+            # declaration.
+            dtype = np.dtype(
+                [
+                    (name, declared[name].base, leaf.shape[2:])
+                    for name, leaf in zip(declared.names, leaves)
+                ]
             )
-        lead = leaves[0].shape[:2] if leaves[0].ndim >= 2 else leaves[0].shape
-        out = np.empty(lead, dtype=dtype)
-        for name, leaf in zip(dtype.names, leaves):
-            out[name] = leaf
+            out = np.empty(leaves[0].shape[:2], dtype=dtype)
+            for name, leaf in zip(declared.names, leaves):
+                out[name] = leaf
+        if flat:
+            return out.reshape((-1,) + out.shape[2:])
         return out
 
     def get_value(self, name, **kwargs):

@@ -131,6 +131,124 @@ def test_hdf_blobs():
         )
 
 
+def test_hdf_blobs_multileaf_structured():
+    """Multi-leaf blob pytrees land as one structured dataset with one
+    field per leaf, and get_last_sample rebuilds the pytree kind."""
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), jnp.sum(x), x * 2.0
+
+    with backends.TempHDFBackend() as hdf:
+        nwalkers, ndim = 16, 3
+        coords = np.asarray(
+            jax.random.normal(jax.random.key(0), (nwalkers, ndim))
+        )
+        s = EnsembleSampler(nwalkers, ndim, lp, backend=hdf, seed=0)
+        s.run_mcmc(coords, 12)
+
+        import h5py
+
+        with h5py.File(hdf.filename, "r") as f:
+            ds = f["test"]["blobs"]
+            assert isinstance(ds, h5py.Dataset)
+            assert ds.shape == (12, nwalkers)
+            assert ds.dtype.names == ("blob0", "blob1")
+        raw = s.get_value("blobs")
+        assert raw.dtype.names == ("blob0", "blob1")
+        assert raw["blob1"].shape == (12, nwalkers, ndim)
+
+        last = s.get_last_sample()
+        assert isinstance(last.blobs, tuple) and len(last.blobs) == 2
+        np.testing.assert_allclose(
+            np.asarray(last.blobs[1]), raw["blob1"][-1]
+        )
+        # Resume must accept the rebuilt blob pytree.
+        s.run_mcmc(None, 3)
+        assert s.iteration == 15
+
+
+def test_hdf_dict_blobs_fields_named_by_key():
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), {"s": jnp.sum(x), "v": x}
+
+    with backends.TempHDFBackend() as hdf:
+        coords = np.asarray(jax.random.normal(jax.random.key(0), (16, 3)))
+        s = EnsembleSampler(16, 3, lp, backend=hdf, seed=0)
+        s.run_mcmc(coords, 6)
+        raw = s.get_value("blobs")
+        assert set(raw.dtype.names) == {"s", "v"}
+        last = s.get_last_sample()
+        assert set(last.blobs) == {"s", "v"}
+        s.run_mcmc(None, 2)
+        assert s.iteration == 8
+
+
+@pytest.mark.parametrize("use_hdf", [False, True])
+def test_blobs_dtype_structured_fetch(use_hdf):
+    """Declared blobs_dtype names the fields of get_blobs' output on both
+    backends, including the flat=True path."""
+    dt = [("logl", np.float64), ("mean", np.float64)]
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2), -0.5 * jnp.sum(x**2), jnp.mean(x)
+
+    def check(s):
+        blobs = s.get_blobs()
+        assert blobs.dtype.names == ("logl", "mean")
+        assert blobs.shape == (10, 16)
+        flatb = s.get_blobs(flat=True)
+        assert flatb.shape == (160,)
+        np.testing.assert_allclose(
+            flatb["logl"], blobs["logl"].reshape(-1)
+        )
+
+    coords = np.asarray(jax.random.normal(jax.random.key(2), (16, 3)))
+    if use_hdf:
+        with backends.TempHDFBackend() as hdf:
+            s = EnsembleSampler(
+                16, 3, lp, backend=hdf, blobs_dtype=dt, seed=0
+            )
+            s.run_mcmc(coords, 10)
+            check(s)
+    else:
+        s = EnsembleSampler(16, 3, lp, blobs_dtype=dt, seed=0)
+        s.run_mcmc(coords, 10)
+        check(s)
+
+
+def test_hdf_save_chunk_grows_unprompted():
+    """save_chunk on an un-grown file must extend capacity and lay out blob
+    storage itself (the mid-run grow path), without leaking handles."""
+    with backends.TempHDFBackend() as hdf:
+        hdf.reset(4, 2)
+        k, nw, nd = 5, 4, 2
+        rng = np.random.default_rng(0)
+        blobs = (rng.normal(size=(k, nw)), rng.normal(size=(k, nw, nd)))
+        key = jax.random.key(0)
+        hdf.save_chunk(
+            rng.normal(size=(k, nw, nd)),
+            rng.normal(size=(k, nw)),
+            blobs,
+            np.ones((k, nw), dtype=bool),
+            key,
+        )
+        assert hdf.iteration == k
+        raw = hdf.get_value("blobs")
+        assert raw.shape == (k, nw)
+        assert raw["blob1"].shape == (k, nw, nd)
+        # A second unprompted chunk grows again and appends.
+        hdf.save_chunk(
+            rng.normal(size=(k, nw, nd)),
+            rng.normal(size=(k, nw)),
+            blobs,
+            np.zeros((k, nw), dtype=bool),
+            key,
+        )
+        assert hdf.iteration == 2 * k
+        assert hdf.get_value("chain").shape == (2 * k, nw, nd)
+        np.testing.assert_array_equal(hdf.accepted, [k] * nw)
+
+
 def test_hdf_compression_smoke():
     with backends.TempHDFBackend(compression="gzip") as hdf:
         s = _run(hdf)

@@ -106,6 +106,49 @@ def test_reference_reads_our_hdf(tmp_path):
     )
 
 
+def test_reference_reads_our_blobbed_hdf(tmp_path):
+    """Blobs written by our HDFBackend — both the single-array layout and
+    the multi-leaf structured layout — must load through emcee's reader."""
+
+    def lp_single(x):
+        return -0.5 * jnp.sum(x**2), x
+
+    fn = str(tmp_path / "single.h5")
+    s = emcee_tpu.EnsembleSampler(
+        16, 2, lp_single, backend=emcee_tpu.backends.HDFBackend(fn), seed=0
+    )
+    p0 = np.random.default_rng(1).normal(size=(16, 2))
+    s.run_mcmc(p0, 25)
+    ref_blobs = emcee.backends.HDFBackend(fn, read_only=True).get_blobs()
+    np.testing.assert_allclose(
+        np.asarray(ref_blobs), np.asarray(s.get_blobs())
+    )
+
+    def lp_multi(x):
+        return -0.5 * jnp.sum(x**2), jnp.sum(x), 2.0 * x
+
+    fn2 = str(tmp_path / "multi.h5")
+    s2 = emcee_tpu.EnsembleSampler(
+        16,
+        2,
+        lp_multi,
+        backend=emcee_tpu.backends.HDFBackend(fn2),
+        blobs_dtype=[("total", float), ("doubled", float)],
+        seed=0,
+    )
+    s2.run_mcmc(p0, 25)
+    ref_reader = emcee.backends.HDFBackend(fn2, read_only=True)
+    ref_blobs = ref_reader.get_blobs()
+    assert ref_blobs.dtype.names == ("total", "doubled")
+    ours = s2.get_blobs()
+    np.testing.assert_allclose(
+        np.asarray(ref_blobs["doubled"]), ours["doubled"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_blobs["total"]), ours["total"]
+    )
+
+
 def test_we_read_reference_hdf(tmp_path):
     """A chain written by reference emcee must load through our backend."""
 
