@@ -8,14 +8,14 @@ streaming.  Public surface mirrors the reference
 (``/root/reference/src/emcee/__init__.py:22-36``).
 """
 
-from . import autocorr, backends, checkpoint, kernels, moves
+from . import autocorr, backends, checkpoint, kernels, moves, utils
 from .monitor import ConvergenceMonitor, run_until_converged
 from .ops.autocorr import AutocorrError
 from .parallel.tempering import PTSampler
 from .sampler import EnsembleSampler
 from .state import State, walkers_independent
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "EnsembleSampler",
@@ -30,5 +30,6 @@ __all__ = [
     "checkpoint",
     "autocorr",
     "backends",
+    "utils",
     "__version__",
 ]
