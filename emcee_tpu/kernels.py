@@ -11,13 +11,15 @@ Example::
     from emcee_tpu.kernels import build_kernel
 
     init, step = build_kernel(log_prob, nwalkers=1024)
-    state = init(coords, jax.random.key(0))
+    state, carry = init(coords, jax.random.key(0))
 
-    def body(state, _):
-        state, accepted = step(state)
-        return state, state.coords
+    def body(sc, _):
+        state, accepted, carry = step(*sc)
+        return (state, carry), state.coords
 
-    state, chain = jax.lax.scan(body, state, None, length=1000)
+    (state, carry), chain = jax.lax.scan(
+        body, (state, carry), None, length=1000
+    )
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ def build_kernel(
     vectorize: bool = False,
     args=None,
     kwargs=None,
+    tune: bool = False,
     axis_name: Optional[str] = None,
     param_axis: Optional[str] = None,
     ndim: Optional[int] = None,
@@ -52,15 +55,20 @@ def build_kernel(
         log_prob_fn: as for :class:`EnsembleSampler`.
         nwalkers: global walker count (for the red-blue guard).
         move: a single move instance (default ``StretchMove()``).
+        tune: apply the move's adaptation hook every step.
         axis_name / param_axis: mesh axis names when the returned step is
             called inside ``shard_map`` (walker sharding / long-ndim
             partial-sum mode).
         ndim: global dimensionality (required with ``param_axis``).
 
     Returns:
-        ``init_fn(coords, key) -> State`` evaluating initial log-probs,
-        and ``step_fn(state) -> (State, accepted)`` advancing one
-        proposal.  Both are jit/scan/shard_map-compatible pure functions.
+        ``init_fn(coords, key) -> (State, carry)`` evaluating initial
+        log-probs and building the move's carry, and
+        ``step_fn(state, carry) -> (State, accepted, carry)`` advancing one
+        proposal.  The carry holds the move's mutable state (tuned scales,
+        ``sequential`` dim counters) and must be threaded through the scan
+        — dropping it freezes stateful moves.  Both functions are
+        jit/scan/shard_map-compatible and pure.
     """
     if move is None:
         move = _moves_mod.StretchMove()
@@ -76,19 +84,22 @@ def build_kernel(
     )
     carry0 = move.init_carry(int(nwalkers), ndim or 0)
 
-    def init_fn(coords, key) -> State:
+    def init_fn(coords, key):
         lp, blobs = compute(jnp.asarray(coords))
-        return State(
+        state = State(
             coords=jnp.asarray(coords),
             log_prob=lp,
             blobs=blobs,
             random_state=key,
         )
+        return state, carry0
 
-    def step_fn(state: State, carry=carry0):
+    def step_fn(state: State, carry):
         key, k_prop = jax.random.split(state.random_state)
         state = state._replace(random_state=key)
-        new_state, accepted, _ = move.propose(k_prop, state, model, carry)
-        return new_state, accepted
+        new_state, accepted, carry = move.propose(k_prop, state, model, carry)
+        if tune:
+            carry = move.tune(carry, new_state, accepted, model)
+        return new_state, accepted, carry
 
     return init_fn, step_fn

@@ -10,8 +10,9 @@ is purely functional:
 * per-move mutable state (e.g. the ``sequential`` dim counter of
   ``GaussianMove``, reference ``gaussian.py:99-101``) lives in ``carry``, a
   small pytree created by ``init_carry`` and threaded through the scan.
-* ``tune(carry, state, accepted) -> carry`` — optional adaptation hook
-  (reference ``move.py:9-10``), also pure.
+* ``tune(carry, state, accepted, model=None) -> carry`` — optional
+  adaptation hook (reference ``move.py:9-10``), also pure; ``model``
+  carries the mesh-axis names for cross-shard reductions.
 
 Masked acceptance-update is branch-free ``jnp.where`` select instead of the
 reference's fancy-indexed scatter.
@@ -63,6 +64,11 @@ class Move:
     def propose(self, key, state, model, carry) -> Tuple[Any, jax.Array, Any]:
         raise NotImplementedError
 
-    def tune(self, carry, state, accepted) -> Any:
-        """Adaptation hook; default no-op (reference ``move.py:9-10``)."""
+    def tune(self, carry, state, accepted, model=None) -> Any:
+        """Adaptation hook; default no-op (reference ``move.py:9-10``).
+
+        ``model`` supplies mesh-axis metadata so adaptive moves can reduce
+        acceptance statistics over walker shards (shard-local means would
+        silently diverge per shard under ``shard_map``).
+        """
         return carry

@@ -99,13 +99,21 @@ class GaussianMove(MHMove):
             carry["t"] = jnp.zeros((), dtype=jnp.int32)
         return carry
 
-    def tune(self, carry, state, accepted):
-        """Robbins-Monro scale adaptation toward ``tune_target``."""
+    def tune(self, carry, state, accepted, model=None):
+        """Robbins-Monro scale adaptation toward ``tune_target``.
+
+        The acceptance rate is averaged over the *global* ensemble: under
+        walker sharding a shard-local mean would adapt each shard's copy of
+        the (replicated) carry differently, corrupting the tuned scale.
+        """
         if self.tune_target is None:
             return carry
         t = carry["t"]
         lr = self.tune_rate / jnp.sqrt(1.0 + t.astype(jnp.float32))
-        err = jnp.mean(accepted.astype(jnp.float32)) - self.tune_target
+        acc_rate = jnp.mean(accepted.astype(jnp.float32))
+        if model is not None and model.axis_name is not None:
+            acc_rate = jax.lax.pmean(acc_rate, model.axis_name)
+        err = acc_rate - self.tune_target
         return {
             **carry,
             "log_adj": jnp.clip(carry["log_adj"] + lr * err, -10.0, 10.0),

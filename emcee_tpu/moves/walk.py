@@ -38,10 +38,21 @@ class WalkMove(RedBlueMove):
 
     Args:
         s: number of helper walkers; default uses the whole complement.
+        exact_subset_max: complement-size threshold below which per-walker
+            subsets are drawn exactly without replacement (reference
+            semantics, ``walk.py:28-35``).  Above it, the O(nw * nc)
+            permutation materialization is infeasible (1e5-walker
+            ensembles), so subsets are bootstrap draws *with* replacement —
+            an O(nw * s) per-step cost.  The proposal stays symmetric
+            given the complement either way, so detailed balance is
+            unaffected; with-replacement only perturbs the subset-size
+            statistics by O(s^2 / nc), negligible in the large-``nc``
+            regime where it activates.
     """
 
-    def __init__(self, s=None, **kwargs):
+    def __init__(self, s=None, exact_subset_max=4096, **kwargs):
         self.s = s
+        self.exact_subset_max = int(exact_subset_max)
         super().__init__(**kwargs)
 
     def get_proposal(self, key, s, c_parts, model):
@@ -64,9 +75,14 @@ class WalkMove(RedBlueMove):
             z = jax.random.normal(key, (ns, ndim), dtype=s.dtype)
             return s + z @ chol.T, jnp.zeros(ns, dtype=s.dtype)
 
+        exact = nc <= self.exact_subset_max
+
         def one(k, si):
             k_sub, k_draw = jax.random.split(k)
-            inds = jax.random.choice(k_sub, nc, (s0,), replace=False)
+            if exact:
+                inds = jax.random.choice(k_sub, nc, (s0,), replace=False)
+            else:
+                inds = jax.random.randint(k_sub, (s0,), 0, nc)
             cov = _cov(c[inds])
             return jax.random.multivariate_normal(
                 k_draw, si, cov, method="svd", dtype=s.dtype

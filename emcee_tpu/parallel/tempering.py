@@ -216,6 +216,16 @@ class PTSampler:
                 )
             if self.backend.iteration > 0:
                 self._previous_state = self.backend.get_last_sample()
+                # Resume the (possibly adapted) ladder the walkers were
+                # actually sampled with, not the constructor default —
+                # otherwise an adaptive=True run silently reverts.
+                saved = getattr(self.backend, "betas", None)
+                if saved is not None:
+                    saved = np.asarray(saved, dtype=np.float64)
+                    if saved.shape == self.betas.shape and np.any(
+                        saved != 0.0
+                    ):
+                        self.betas = saved
         else:
             self.backend.reset(self.ntemps, self.nwalkers, self.ndim)
         self._base_swaps_accepted = np.asarray(
@@ -229,6 +239,7 @@ class PTSampler:
     def reset(self):
         self.backend.reset(self.ntemps, self.nwalkers, self.ndim)
         self._previous_state = None
+        self._move_carries = None
         self._base_swaps_accepted = np.zeros(
             max(self.ntemps - 1, 1), dtype=np.int64
         )
@@ -282,7 +293,9 @@ class PTSampler:
             base,
         )
 
-    def _move_step(self, key, coords, log_like, log_prior, betas, carries):
+    def _move_step(
+        self, key, coords, log_like, log_prior, betas, carries, tune=False
+    ):
         """One ensemble-move proposal at every (local) temperature.
 
         Under temperature sharding ``coords`` holds this shard's rung
@@ -313,6 +326,8 @@ class PTSampler:
                 new_st, acc, c = self._moves[0].propose(
                     key_t, st, model, carries_t[0]
                 )
+                if tune:
+                    c = self._moves[0].tune(c, new_st, acc, model)
                 carries_t = (c,)
             else:
 
@@ -322,6 +337,8 @@ class PTSampler:
                         ns, acc, c = self._moves[i].propose(
                             k, s, model, cs[i]
                         )
+                        if tune:
+                            c = self._moves[i].tune(c, ns, acc, model)
                         cs = cs[:i] + (c,) + cs[i + 1 :]
                         return ns, acc, cs
 
@@ -352,6 +369,14 @@ class PTSampler:
         For pair (i, i+1): accept with log-prob
         ``(beta_i - beta_{i+1}) * (logL_{i+1} - logL_i)``.
         """
+        if self._axis_name is not None:
+            # Under walker sharding each shard holds different walkers, so
+            # the (replicated) key must be decorrelated per shard or every
+            # shard reuses identical accept uniforms (mirrors
+            # _swap_step_sharded).
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(self._axis_name)
+            )
         T = self.ntemps
         pair_lo = np.arange(parity, T - 1, 2)
         if len(pair_lo) == 0:
@@ -469,8 +494,8 @@ class PTSampler:
 
         return coords, ll, lpr, counts
 
-    def _build_chunk(self, nkeep, thin_by, store):
-        cache_key = (nkeep, thin_by, store)
+    def _build_chunk(self, nkeep, thin_by, store, tune=False):
+        cache_key = (nkeep, thin_by, store, tune)
         fn = self._run_cache.get(cache_key)
         if fn is not None:
             return fn
@@ -478,6 +503,10 @@ class PTSampler:
         swap_every = self.swap_every
 
         def one(carry, step_i):
+            # step_i is the GLOBAL proposal index (offset threaded in via
+            # kept0), so the even/odd swap parity and the swap_every phase
+            # stay continuous across chunks and resumed runs — matching
+            # the host-side per-pair attempt accounting in run_mcmc.
             state, carries, swap_acc_tot, betas = carry
             key, k_move, k_swap = jax.random.split(state.random_state, 3)
             t_loc = state.coords.shape[0]
@@ -495,6 +524,7 @@ class PTSampler:
                 state.log_prior,
                 betas_local,
                 carries,
+                tune=tune,
             )
             parity = step_i % 2
 
@@ -556,11 +586,11 @@ class PTSampler:
                 out = None
             return (state, carries, swp, betas), out
 
-        def chunk(state, carries, swap_acc_tot, betas):
+        def chunk(state, carries, swap_acc_tot, betas, kept0):
             (state, carries, swp, betas), outs = jax.lax.scan(
                 kept,
                 (state, carries, swap_acc_tot, betas),
-                jnp.arange(nkeep),
+                kept0 + jnp.arange(nkeep),
             )
             return state, carries, swp, outs
 
@@ -589,7 +619,7 @@ class PTSampler:
             chunk = _shard_map(
                 chunk,
                 mesh=self.mesh,
-                in_specs=(state_spec, carries_spec, swap_spec, P()),
+                in_specs=(state_spec, carries_spec, swap_spec, P(), P()),
                 out_specs=(state_spec, carries_spec, swap_spec, out_spec),
                 check_vma=False,
             )
@@ -669,9 +699,7 @@ class PTSampler:
         T = self.ntemps
         if T < 3:
             return jnp.asarray(self.betas), prev_swaps
-        cur = np.asarray(jax.device_get(swap_acc)).sum(axis=1)[
-            : max(self.ntemps - 1, 1)
-        ]
+        cur = np.asarray(swap_acc).sum(axis=1)[: max(self.ntemps - 1, 1)]
         delta = cur - prev_swaps
         attempts = max(
             (chunk_props // max(self.swap_every, 1)) * self.nwalkers // 2,
@@ -692,12 +720,26 @@ class PTSampler:
         self.betas = 1.0 / temps
         return jnp.asarray(self.betas), cur
 
+    def _fetch_global(self, out, every_process=False):
+        """Device->host fetch that works when arrays are sharded across
+        processes: all-gather to every host, then (unless every_process)
+        only process 0 keeps the result for the backend write."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
+            if not every_process and jax.process_index() != 0:
+                return None
+            return jax.tree_util.tree_map(np.asarray, out)
+        return jax.device_get(out)
+
     def run_mcmc(
         self,
         initial_state,
         nsteps,
         thin_by=1,
         store=True,
+        tune=False,
         skip_initial_state_check=False,
     ):
         """Run ``nsteps`` kept steps; returns the final :class:`PTState`."""
@@ -710,7 +752,11 @@ class PTSampler:
         state = self._prepare_state(
             initial_state, skip_initial_state_check
         )
-        carries = self._init_carries()
+        # Move carries (tuned scales, sequential counters) persist across
+        # calls like EnsembleSampler's; reset() clears them.
+        carries = getattr(self, "_move_carries", None)
+        if carries is None:
+            carries = self._init_carries()
         swap_acc = jnp.zeros(
             (self.ntemps, self.nwalkers), dtype=jnp.int32
         )
@@ -736,13 +782,16 @@ class PTSampler:
             else [max_chunk] * (nsteps // max_chunk)
             + ([nsteps % max_chunk] if nsteps % max_chunk else [])
         )
-        # Exact per-pair proposal counts: an attempt fires at proposals
-        # where step % swap_every == swap_every - 1, alternating parity.
-        step0 = self.backend.iteration * int(thin_by)
+        # Exact per-pair proposal counts, using the same GLOBAL proposal
+        # indices the device uses (kept0 threads the offset into the scan):
+        # an attempt fires where step % swap_every == swap_every - 1, with
+        # even/odd pairing by step parity.
+        kept0 = self.backend.iteration if store else 0
+        step0 = kept0 * int(thin_by)
         proposed = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
         for sidx in range(step0, step0 + nsteps * int(thin_by)):
             if self.swap_every > 0 and (
-                (sidx - step0) % self.swap_every == self.swap_every - 1
+                sidx % self.swap_every == self.swap_every - 1
             ):
                 parity = sidx % 2
                 pairs = np.arange(parity, self.ntemps - 1, 2)
@@ -751,20 +800,35 @@ class PTSampler:
         betas_dev = jnp.asarray(self.betas)
         prev_swaps = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
         proposals_done = 0
+        kept_done = 0
         for n in sizes:
-            run = self._build_chunk(n, int(thin_by), store)
+            run = self._build_chunk(n, int(thin_by), store, tune)
             state, carries, swap_acc, outs = run(
-                state, carries, swap_acc, betas_dev
+                state,
+                carries,
+                swap_acc,
+                betas_dev,
+                jnp.asarray(kept0 + kept_done, dtype=jnp.int32),
             )
             proposals_done += n * int(thin_by)
+            kept_done += n
             if self.adaptive:
+                swap_acc_host = self._fetch_global(
+                    swap_acc, every_process=True
+                )
                 betas_dev, prev_swaps = self._adapt_ladder(
-                    swap_acc, prev_swaps, n * int(thin_by), proposals_done
+                    swap_acc_host,
+                    prev_swaps,
+                    n * int(thin_by),
+                    proposals_done,
                 )
             if not store:
                 continue
-            coords, ll, lpr, accs = jax.device_get(outs)
-            swaps_delta = np.asarray(jax.device_get(swap_acc)).sum(axis=1)[
+            fetched = self._fetch_global((outs, swap_acc))
+            if fetched is None:  # non-zero process: backend untouched
+                continue
+            (coords, ll, lpr, accs), swap_acc_host = fetched
+            swaps_delta = np.asarray(swap_acc_host).sum(axis=1)[
                 : max(self.ntemps - 1, 1)
             ]
             # swap_acc accumulates across chunks within this run; convert
@@ -779,7 +843,7 @@ class PTSampler:
                 state.random_state,
                 self.betas,
             )
-        if store:
+        if store and jax.process_index() == 0:
             self._base_swaps_accepted = np.asarray(
                 self.backend.swaps_accepted
             )
@@ -787,6 +851,7 @@ class PTSampler:
                 self.backend.swaps_proposed
             )
         jax.block_until_ready(state.coords)
+        self._move_carries = carries
         self._previous_state = state
         return state
 
@@ -796,6 +861,7 @@ class PTSampler:
         iterations=1,
         thin_by=1,
         store=True,
+        tune=False,
         skip_initial_state_check=False,
     ):
         """Generator yielding a :class:`PTState` every ``thin_by`` proposals
@@ -813,6 +879,7 @@ class PTSampler:
                 1,
                 thin_by=thin_by,
                 store=store,
+                tune=tune,
                 skip_initial_state_check=skip_initial_state_check or i > 0,
             )
             i += 1

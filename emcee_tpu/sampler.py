@@ -388,7 +388,7 @@ class EnsembleSampler:
                     k_prop, state, model, carries[0]
                 )
                 if tune:
-                    c = moves[0].tune(c, new_state, accepted)
+                    c = moves[0].tune(c, new_state, accepted, model)
                 return new_state, accepted, (c,)
 
             idx = jax.random.choice(k_move, n_moves, p=weights)
@@ -398,7 +398,7 @@ class EnsembleSampler:
                     k, st, cs = operand
                     ns, acc, c = moves[i].propose(k, st, model, cs[i])
                     if tune:
-                        c = moves[i].tune(c, ns, acc)
+                        c = moves[i].tune(c, ns, acc, model)
                     cs = cs[:i] + (c,) + cs[i + 1 :]
                     return ns, acc, cs
 

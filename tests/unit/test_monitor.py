@@ -69,15 +69,15 @@ def test_functional_kernel_api():
     nw, nd = 32, 3
     init, step = build_kernel(normal_log_prob, nwalkers=nw)
     coords = jax.random.normal(jax.random.key(0), (nw, nd))
-    state = init(coords, jax.random.key(1))
+    state, carry = init(coords, jax.random.key(1))
 
-    def body(state, _):
-        state, accepted = step(state)
-        return state, (state.coords, accepted)
+    def body(sc, _):
+        state, accepted, carry = step(*sc)
+        return (state, carry), (state.coords, accepted)
 
-    state, (chain, accs) = jax.jit(
+    (state, carry), (chain, accs) = jax.jit(
         lambda s: jax.lax.scan(body, s, None, length=1500)
-    )(state)
+    )((state, carry))
     chain = np.asarray(chain[500:]).reshape(-1, nd)
     assert np.all(np.abs(chain.mean(0)) < 0.1)
     assert np.all(np.abs(chain.std(0) - 1) < 0.08)

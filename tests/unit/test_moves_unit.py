@@ -208,3 +208,27 @@ def test_gaussian_untuned_oversized_is_stuck():
     p0 = np.random.default_rng(0).normal(size=(nw, nd))
     s.run_mcmc(p0, 500)
     assert s.acceptance_fraction.mean() < 0.05
+
+
+def test_walk_subset_scales_to_large_ensembles():
+    """The subset path must not materialize O(nw * nc) permutations: a
+    1e4-walker subset step completes and proposes finite, distinct
+    coordinates (bootstrap path, nc > exact_subset_max)."""
+    import jax.numpy as jnp
+    from emcee_tpu.kernels import build_kernel
+    from emcee_tpu.moves import WalkMove
+
+    nw, nd = 10_000, 3
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    mv = WalkMove(s=32)
+    init, step = build_kernel(lp, nwalkers=nw, move=mv)
+    coords = jax.random.normal(jax.random.key(0), (nw, nd))
+    state, carry = init(coords, jax.random.key(1))
+    state, accepted, carry = jax.jit(step)(state, carry)
+    q = np.asarray(state.coords)
+    assert np.all(np.isfinite(q))
+    acc = np.asarray(accepted).mean()
+    assert 0.05 < acc < 0.99

@@ -155,3 +155,88 @@ def test_pt_sample_generator():
         assert state.coords.shape == (T, nw, nd)
     assert n == 5
     assert pt.iteration == 5
+
+
+def test_pt_tune_hook_adapts():
+    """GaussianMove(tune_target=...) must adapt inside a PT run (the tune
+    hook threads through _move_step per temperature)."""
+    T, nw, nd = 4, 16, 2
+    mv = moves.GaussianMove(4.0, tune_target=0.45)
+    pt = PTSampler(T, nw, nd, log_like_bimodal, log_prior_box,
+                   moves=mv, seed=0)
+    coords = jax.random.normal(jax.random.key(1), (T, nw, nd))
+    pt.run_mcmc(coords, 150, tune=True)
+    carry = jax.device_get(pt._move_carries[0])
+    # Every rung holds its own adaptation state, and it moved.
+    assert carry["t"].shape == (T,)
+    assert np.all(carry["t"] == 150)
+    assert np.any(np.abs(carry["log_adj"]) > 1e-3)
+    # Without tune=True the carry must not move.
+    pt2 = PTSampler(T, nw, nd, log_like_bimodal, log_prior_box,
+                    moves=moves.GaussianMove(4.0, tune_target=0.45), seed=0)
+    pt2.run_mcmc(coords, 20)
+    carry2 = jax.device_get(pt2._move_carries[0])
+    assert np.all(carry2["t"] == 0)
+
+
+def test_adaptive_ladder_equalizes_swap_rates():
+    """A deliberately bad geometric ladder (huge top temperature) must move
+    toward equalized adjacent swap acceptance under adaptive=True."""
+    T, nw, nd = 6, 64, 1
+    bad = default_beta_ladder(T, nd, max_temp=1e6)
+
+    def run(adaptive):
+        pt = PTSampler(
+            T, nw, nd, log_like_bimodal, log_prior_box,
+            betas=bad.copy(), adaptive=adaptive,
+            adaptation_lag=1000, adaptation_time=20, seed=3,
+        )
+        coords = jax.random.uniform(
+            jax.random.key(5), (T, nw, nd), minval=-8, maxval=8
+        )
+        # Many short chunks so the ladder gets adapted repeatedly.
+        pt.run_mcmc(coords, 100, store=False)
+        for _ in range(12):
+            pt.run_mcmc(None, 100, store=False)
+        pt.run_mcmc(None, 300)
+        rates = pt.tswap_acceptance_fraction
+        return pt, np.asarray(rates, dtype=float)
+
+    pt_a, rates_a = run(True)
+    pt_f, rates_f = run(False)
+    assert not np.allclose(pt_a.betas, bad), "ladder never adapted"
+    # Adaptation must shrink the spread of adjacent swap rates vs the
+    # frozen bad ladder.
+    assert rates_a.std() < rates_f.std(), (rates_a, rates_f)
+    # beta_0 stays pinned at 1.
+    assert pt_a.betas[0] == 1.0
+
+
+def test_adapted_ladder_restored_on_resume():
+    """Re-opening a backend must resume the adapted ladder, not the
+    constructor default (betas are persisted per chunk)."""
+    from emcee_tpu.backends.pt import PTBackend
+
+    T, nw, nd = 5, 32, 1
+    be = PTBackend()
+    pt = PTSampler(
+        T, nw, nd, log_like_bimodal, log_prior_box,
+        adaptive=True, adaptation_lag=500, adaptation_time=10,
+        backend=be, seed=0,
+    )
+    coords = jax.random.uniform(
+        jax.random.key(2), (T, nw, nd), minval=-8, maxval=8
+    )
+    for i in range(5):
+        pt.run_mcmc(coords if i == 0 else None, 80)
+    adapted = pt.betas.copy()
+    assert not np.allclose(adapted, default_beta_ladder(T, nd))
+
+    resumed = PTSampler(
+        T, nw, nd, log_like_bimodal, log_prior_box,
+        adaptive=True, backend=be, seed=0,
+    )
+    np.testing.assert_allclose(resumed.betas, adapted)
+    # And it keeps running from there.
+    resumed.run_mcmc(None, 10)
+    assert resumed.iteration == 5 * 80 + 10
