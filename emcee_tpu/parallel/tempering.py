@@ -685,7 +685,9 @@ class PTSampler:
                 log_prior=NamedSharding(self.mesh, P(tx, ax)),
                 random_state=NamedSharding(self.mesh, P()),
             )
-            state = jax.tree_util.tree_map(jax.device_put, state, sh)
+            from .multihost import tree_put
+
+            state = tree_put(state, sh)
         return state
 
     def _adapt_ladder(self, swap_acc, prev_swaps, chunk_props, done):
@@ -761,7 +763,9 @@ class PTSampler:
             (self.ntemps, self.nwalkers), dtype=jnp.int32
         )
         if self.mesh is not None:
-            swap_acc = jax.device_put(
+            from .multihost import device_put_global
+
+            swap_acc = device_put_global(
                 swap_acc,
                 NamedSharding(
                     self.mesh, P(self._temp_axis, self.walker_axis)

@@ -513,12 +513,9 @@ class EnsembleSampler:
                 state.blobs, NamedSharding(self.mesh, P(ax))
             ),
         )
-        return jax.tree_util.tree_map(
-            jax.device_put,
-            state,
-            shardings,
-            is_leaf=lambda x: x is None,
-        )
+        from .parallel.multihost import tree_put
+
+        return tree_put(state, shardings)
 
     # ------------------------------------------------------------------
     # Sampling

@@ -1,0 +1,91 @@
+"""Worker for the 2-process multi-host CPU test.
+
+Launched by ``tests/unit/test_multihost.py`` as::
+
+    python tests/multihost_worker.py <pid> <nproc> <port> <outdir>
+
+Each process owns 4 virtual CPU devices; ``jax.distributed`` stitches them
+into one 8-device global mesh.  Process 0 holds the real storage backends
+(the multi-host convention: sampler outputs are process_allgather-ed and
+only process 0 writes); other processes pass in-memory dummies.
+"""
+
+import os
+import sys
+
+pid, nproc, port, outdir = (
+    int(sys.argv[1]),
+    int(sys.argv[2]),
+    sys.argv[3],
+    sys.argv[4],
+)
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}",
+    num_processes=nproc,
+    process_id=pid,
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from jax.sharding import Mesh
+
+from emcee_tpu import EnsembleSampler, State, backends
+from emcee_tpu.backends.pt import PTBackend, PTHDFBackend
+from emcee_tpu.parallel.tempering import PTSampler
+
+assert jax.device_count() == 4 * nproc, jax.devices()
+mesh = Mesh(np.asarray(jax.devices()), ("walkers",))
+
+
+def log_prob(x):
+    return -0.5 * jnp.sum(x**2)
+
+
+nwalkers, ndim, nsteps = 64, 3, 25
+if pid == 0:
+    be = backends.HDFBackend(os.path.join(outdir, "multihost.h5"))
+else:
+    be = backends.Backend()
+s = EnsembleSampler(
+    nwalkers, ndim, log_prob, backend=be, mesh=mesh, seed=7
+)
+rng = np.random.default_rng(0)
+p0 = rng.normal(size=(nwalkers, ndim))
+s.run_mcmc(State(jnp.asarray(p0), random_state=jax.random.key(1)), nsteps)
+
+
+def log_like(x):
+    return -0.5 * jnp.sum((x - 1.0) ** 2)
+
+
+def log_prior(x):
+    return jnp.where(jnp.all(jnp.abs(x) < 10.0), 0.0, -jnp.inf)
+
+
+T, nw_pt = 4, 32
+if pid == 0:
+    pt_be = PTHDFBackend(os.path.join(outdir, "multihost_pt.h5"))
+else:
+    pt_be = PTBackend()
+pt = PTSampler(
+    T, nw_pt, ndim, log_like, log_prior, backend=pt_be, mesh=mesh, seed=3
+)
+c0 = np.asarray(
+    jax.random.normal(jax.random.key(9), (T, nw_pt, ndim))
+)
+pt.run_mcmc(c0, 10)
+
+if pid == 0:
+    print("WORKER0 DONE", s.iteration, pt.iteration, flush=True)

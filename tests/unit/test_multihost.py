@@ -1,0 +1,117 @@
+"""Multi-host execution test: 2 CPU processes, one global 8-device mesh.
+
+The SURVEY (§2.2) makes ``jax.distributed`` multi-host the equivalent of
+the reference's MPI pool; this actually *executes* that path: two
+subprocesses each holding 4 virtual CPU devices run the walker-sharded
+samplers, chunk outputs are process_allgather-ed, and process 0 writes the
+HDF backends.  The stored chains must be bit-identical to a single-process
+run over an 8-device mesh of the same shape (same SPMD program, same keys).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import Mesh
+
+from emcee_tpu import EnsembleSampler, State, backends
+from emcee_tpu.backends.pt import PTBackend
+from emcee_tpu.parallel.tempering import PTSampler
+
+REPO = os.path.join(os.path.dirname(__file__), "..", "..")
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def multihost_outputs(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("multihost"))
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count (4)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), outdir],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    assert "WORKER0 DONE" in outs[0] + outs[1]
+    return outdir
+
+
+def test_multihost_ensemble_matches_single_process(multihost_outputs):
+    fn = os.path.join(multihost_outputs, "multihost.h5")
+    stored = backends.HDFBackend(fn, read_only=True)
+    assert stored.iteration == 25
+
+    # Same workload on this process's own 8-device mesh (same global mesh
+    # shape => identical SPMD program and RNG streams).
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("walkers",))
+    s = EnsembleSampler(64, 3, log_prob, mesh=mesh, seed=7)
+    p0 = np.random.default_rng(0).normal(size=(64, 3))
+    s.run_mcmc(State(jnp.asarray(p0), random_state=jax.random.key(1)), 25)
+
+    np.testing.assert_array_equal(
+        np.asarray(stored.get_chain()), np.asarray(s.get_chain())
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stored.get_log_prob()), np.asarray(s.get_log_prob())
+    )
+    np.testing.assert_array_equal(stored.accepted, s.backend.accepted)
+
+
+def test_multihost_pt_matches_single_process(multihost_outputs):
+    from emcee_tpu.backends.pt import PTHDFBackend
+
+    fn = os.path.join(multihost_outputs, "multihost_pt.h5")
+    stored = PTHDFBackend(fn, read_only=True)
+    assert stored.iteration == 10
+
+    def log_like(x):
+        return -0.5 * jnp.sum((x - 1.0) ** 2)
+
+    def log_prior(x):
+        return jnp.where(jnp.all(jnp.abs(x) < 10.0), 0.0, -jnp.inf)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("walkers",))
+    pt = PTSampler(
+        4, 32, 3, log_like, log_prior, backend=PTBackend(), mesh=mesh, seed=3
+    )
+    c0 = np.asarray(jax.random.normal(jax.random.key(9), (4, 32, 3)))
+    pt.run_mcmc(c0, 10)
+
+    np.testing.assert_array_equal(
+        stored.get_chain(), np.asarray(pt.get_chain())
+    )
+    np.testing.assert_array_equal(
+        stored.swaps_accepted, pt.swaps_accepted
+    )
