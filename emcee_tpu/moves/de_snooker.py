@@ -7,9 +7,20 @@ along ``u = (s - z)/|s - z|`` and proposes
 ``q = s + gammas * u * (u.z1 - u.z2)`` with Metropolis factor
 ``(ndim - 1) * (log|q - z| - log|s - z|)``.
 
-The reference's per-walker Python loop (``de_snooker.py:38-45``) becomes a
-vectorized gather + a 6-way permutation lookup (shuffling 3 elements =
-indexing a static table of the 3! permutations).
+Two execution modes for the per-walker draws:
+
+* ``pair_mode="random"`` (reference-faithful): one uniform member of each
+  complementary group per walker (three random row gathers) plus a
+  per-walker 6-way permutation lookup replacing the reference's in-place
+  shuffle (``de_snooker.py:38-45``).
+* ``pair_mode="roll"``: each group contributes ``c[(i + shift) % nc]``
+  under one random shift per group per half-step, and the (z, z1, z2) role
+  assignment is one random permutation per half-step instead of per
+  walker.  Both are exogenous randomness independent of the chain state,
+  so detailed balance is preserved; no gathers remain in the hot loop and
+  the four scalar uniforms ride the engine's fused per-step RNG draw.
+  This is the TPU performance configuration (pairs with
+  ``randomize_split=False`` for the fully static-slice blocked engine).
 """
 
 from __future__ import annotations
@@ -32,17 +43,45 @@ class DESnookerMove(RedBlueMove):
 
     Args:
         gammas: mean stretch factor (default 1.7 per the reference).
+        pair_mode: ``"random"`` (reference-faithful gathers) or ``"roll"``
+            (gather-free circular pairing, see module docstring).
     """
 
-    def __init__(self, gammas=1.7, **kwargs):
+    def __init__(self, gammas=1.7, pair_mode="random", **kwargs):
         self.gammas = float(gammas)
+        if pair_mode not in ("random", "roll"):
+            raise ValueError(f"unknown pair_mode: {pair_mode!r}")
+        self.pair_mode = pair_mode
         kwargs["nsplits"] = 4
         super().__init__(**kwargs)
 
-    def get_proposal(self, key, s, c_parts, model):
-        ns, ndim = s.shape
+    def n_extra_uniforms(self, ng, nc):
+        # Roll mode needs 4 scalars (role permutation + 3 group shifts);
+        # folding them into the step's single fused RNG draw keeps the
+        # whole proposal at zero extra RNG kernel launches.
+        return 4 if self.pair_mode == "roll" else 0
+
+    def _draw_roll(self, key, s, c_parts, extra):
+        ns = s.shape[0]
+        if extra is not None:
+            u4 = extra[:4]
+        else:
+            u4 = jax.random.uniform(key, (4,), dtype=s.dtype)
+        perm_idx = jnp.minimum((u4[0] * 6).astype(jnp.int32), 5)
+        order = jnp.asarray(_PERMS3)[perm_idx]  # (3,)
+        picks = []
+        for u_k, cpart in zip(u4[1:], c_parts):
+            shift = (u_k * cpart.shape[0]).astype(jnp.int32)
+            picks.append(jnp.roll(cpart, -shift, axis=0)[:ns])
+        w = jnp.stack(picks, axis=0)  # (3, ns, ndim)
+        return w[order[0]], w[order[1]], w[order[2]]
+
+    def _draw_random(self, key, s, c_parts):
+        ns = s.shape[0]
         keys = jax.random.split(key, 4)
-        # One uniformly random member of each complementary group per walker.
+        # One uniformly random member of each complementary group per
+        # walker, then a per-walker shuffle of the three draws (indexing a
+        # static table of the 3! permutations).
         w = jnp.stack(
             [
                 c[jax.random.randint(k, (ns,), 0, c.shape[0])]
@@ -50,14 +89,20 @@ class DESnookerMove(RedBlueMove):
             ],
             axis=1,
         )  # (ns, 3, ndim)
-        # Random shuffle of the three draws (reference shuffles w in place).
         perm_idx = jax.random.randint(keys[3], (ns,), 0, 6)
         order = jnp.asarray(_PERMS3)[perm_idx]  # (ns, 3)
         w = jnp.take_along_axis(w, order[:, :, None], axis=1)
-        z, z1, z2 = w[:, 0], w[:, 1], w[:, 2]
+        return w[:, 0], w[:, 1], w[:, 2]
+
+    def get_proposal(self, key, s, c_parts, model, extra=None):
+        ns, ndim = s.shape
+        if self.pair_mode == "roll":
+            z, z1, z2 = self._draw_roll(key, s, c_parts, extra)
+        else:
+            z, z1, z2 = self._draw_random(key, s, c_parts)
 
         # All dim-reductions psum over parameter shards (no-ops otherwise);
-        # the random index draws above use walker-folded keys, so every
+        # the draws above use walker-folded keys / fused uniforms, so every
         # parameter shard picks the same partners.
         delta = s - z
         norm2 = model.psum_params(jnp.sum(delta**2, axis=-1))

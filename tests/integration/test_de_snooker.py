@@ -11,3 +11,12 @@ def test_normal_de_snooker():
 
 def test_uniform_de_snooker():
     _test_uniform(moves.DESnookerMove(), nsteps=4000)
+
+
+def test_normal_de_snooker_roll_blocked():
+    """The gather-free TPU performance configuration must pass the same
+    statistical oracle."""
+    _test_normal(
+        moves.DESnookerMove(pair_mode="roll", randomize_split=False),
+        nsteps=4000,
+    )

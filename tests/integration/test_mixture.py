@@ -29,3 +29,22 @@ def test_stretch_gaussian_mixture():
         ],
         nsteps=3000,
     )
+
+
+def test_de_snooker_mixture_blocked_roll():
+    """Workload-3 performance configuration: blocked engine, roll pairing
+    for both moves, fused RNG — statistically equivalent to the
+    reference-faithful mixture."""
+    _test_normal(
+        [
+            (moves.DEMove(pair_mode="roll", randomize_split=False), 0.8),
+            (
+                moves.DESnookerMove(
+                    pair_mode="roll", randomize_split=False
+                ),
+                0.2,
+            ),
+        ],
+        ndim=3,
+        nsteps=3000,
+    )
