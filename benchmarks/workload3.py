@@ -1,0 +1,102 @@
+"""Workload-3 benchmark: 100D correlated Gaussian, 1e4 walkers,
+DE(0.8)+Snooker(0.2) mixture (the BASELINE-prescribed configuration).
+
+Usage: python benchmarks/workload3.py [--config mixture|de|snooker]
+Prints one JSON line with walker-steps/s.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emcee_tpu import EnsembleSampler, State, moves
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="mixture")
+    ap.add_argument("--walkers", type=int, default=10_000)
+    ap.add_argument("--ndim", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--unroll", type=int, default=8)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(args.ndim, args.ndim)) / np.sqrt(args.ndim)
+    cov = A @ A.T + 0.5 * np.eye(args.ndim)
+    icov = np.linalg.inv(cov)
+    # One MXU matmul + fused square-reduce: x @ W with W = chol(icov),
+    # lp = -0.5 |xW|^2 — same quadratic form, half the flops of the
+    # x·icov·x einsum and a single matmul for XLA to tile.
+    W = jnp.asarray(np.linalg.cholesky(icov), dtype=jnp.float32)
+    chol = np.linalg.cholesky(cov)
+
+    def log_prob(x):
+        y = x @ W
+        return -0.5 * jnp.sum(y * y, axis=-1)
+
+    de = moves.DEMove(pair_mode="roll", randomize_split=False)
+    sn = moves.DESnookerMove(pair_mode="roll", randomize_split=False)
+    cfg = {
+        "mixture": [(de, 0.8), (sn, 0.2)],
+        "de": de,
+        "snooker": sn,
+    }[args.config]
+
+    sampler = EnsembleSampler(
+        args.walkers,
+        args.ndim,
+        log_prob,
+        vectorize=True,
+        seed=0,
+        moves=cfg,
+        scan_unroll=args.unroll,
+    )
+    coords = jnp.asarray(
+        rng.normal(size=(args.walkers, args.ndim)) @ chol.T,
+        dtype=jnp.float32,
+    )
+    state = sampler._prepare_state(
+        State(coords, random_state=jax.random.key(2)), True
+    )
+    carries = sampler._init_carries()
+
+    run = sampler._get_run_chunk(args.steps, 1, False, False, None)
+    st, c, _ = run(state, carries)
+    float(jnp.sum(st.log_prob))  # forced sync (see CLAUDE.md)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        st, c, _ = run(st, c)
+    float(jnp.sum(st.log_prob))
+    dt = time.perf_counter() - t0
+
+    mean_lp = float(jnp.mean(st.log_prob))
+    assert -0.8 * args.ndim < mean_lp < -0.2 * args.ndim, mean_lp
+
+    wsps = reps * args.steps * args.walkers / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"workload3_{args.config}_walker_steps_per_sec",
+                "value": round(wsps, 1),
+                "unit": "walker-steps/s",
+                "ms_per_step": round(1e3 * dt / (reps * args.steps), 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,78 @@ def test_ndim_divisibility():
             param_axis="params",
             seed=0,
         )
+
+
+def test_param_sharded_matches_unsharded_exactly():
+    """Matched-key equivalence: a (1 walker-shard x 8 param-shard) run must
+    reproduce the same chain as a 1-shard run of the same mesh-folded key
+    stream — the psum over parameter blocks is the only difference, so
+    under float64 the chains agree to reduction-order noise.
+
+    Runs in a subprocess with jax_enable_x64 so a knife-edge accept cannot
+    flip on the psum's float reassociation (and so the global x64 flag
+    cannot leak into other tests).
+    """
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+from emcee_tpu import EnsembleSampler, State, moves
+
+
+def partial_lp(x):
+    return -0.5 * jnp.sum(x**2, axis=-1)
+
+
+nw, nd, nsteps = 32, 8, 200
+coords = np.asarray(
+    jax.random.normal(jax.random.key(0), (nw, nd), dtype=jnp.float64)
+)
+start = lambda: State(jnp.asarray(coords), random_state=jax.random.key(7))
+
+# Comparator: 1-device walker mesh (same walker-axis key folding, full-dim
+# log-prob in one block).
+mesh_a = Mesh(np.array(jax.devices()[:1]), ("walkers",))
+a = EnsembleSampler(nw, nd, partial_lp, vectorize=True, seed=0, mesh=mesh_a)
+a.run_mcmc(start(), nsteps)
+
+# Param-sharded: same single walker shard, 8 parameter shards + psum.
+mesh_b = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("walkers", "params"))
+b = EnsembleSampler(
+    nw, nd, partial_lp, vectorize=True, seed=0, mesh=mesh_b,
+    param_axis="params",
+)
+b.run_mcmc(start(), nsteps)
+
+ca, cb = np.asarray(a.get_chain()), np.asarray(b.get_chain())
+np.testing.assert_allclose(cb, ca, rtol=1e-9, atol=1e-12)
+np.testing.assert_array_equal(
+    np.asarray(a.backend.accepted), np.asarray(b.backend.accepted)
+)
+print("OK")
+"""
+    import os
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.join(os.path.dirname(__file__), "..", "..")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env={**env, "PYTHONPATH": repo},
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout

@@ -124,9 +124,11 @@ def test_sharded_tau_matches_dense():
     """Integrated autocorrelation time: sharded == dense within noise.
 
     Stronger than moment checks — tau is sensitive to any corruption of
-    the complement exchange or per-shard key discipline.
+    the complement exchange or per-shard key discipline.  256 walkers and
+    3000 steps push the estimator noise well under the 20% gate (the
+    walker-averaged ACF error scales like sqrt(tau / (nw * n))).
     """
-    nwalkers, ndim, nsteps = 64, 2, 3000
+    nwalkers, ndim, nsteps = 256, 2, 3000
     coords = np.asarray(
         jax.random.normal(jax.random.key(9), (nwalkers, ndim))
     )
@@ -141,7 +143,7 @@ def test_sharded_tau_matches_dense():
     sharded.run_mcmc(coords, nsteps)
     tau_s = sharded.get_autocorr_time(discard=500, quiet=True)
 
-    assert np.all(np.abs(tau_s - tau_d) / tau_d < 0.5), (tau_d, tau_s)
+    assert np.all(np.abs(tau_s - tau_d) / tau_d < 0.2), (tau_d, tau_s)
 
 
 def test_sharded_generator():

@@ -65,14 +65,17 @@ def test_temp_sharded_mode_hopping():
 
 
 def test_temp_sharded_matches_dense_statistics():
-    T, nw, nd = 4, 32, 1
+    """Temperature-sharded == dense statistics, tight enough to catch a
+    corrupted boundary ppermute swap: mode-occupation balance, location
+    of the modes, and dispersion must all agree within MC noise."""
+    T, nw, nd = 4, 64, 1
     coords = jax.random.uniform(
         jax.random.key(2), (T, nw, nd), minval=-10, maxval=10
     )
 
     dense = PTSampler(T, nw, nd, log_like, log_prior, seed=0)
-    dense.run_mcmc(coords, 1200)
-    d0 = dense.get_chain(temp=0, discard=400, flat=True)
+    dense.run_mcmc(coords, 2000)
+    d0 = dense.get_chain(temp=0, discard=500, flat=True)
 
     sharded = PTSampler(
         T,
@@ -84,11 +87,17 @@ def test_temp_sharded_matches_dense_statistics():
         mesh=make_mesh(tshards=2, wshards=4),
         temp_axis="temp",
     )
-    sharded.run_mcmc(coords, 1200)
-    s0 = sharded.get_chain(temp=0, discard=400, flat=True)
+    sharded.run_mcmc(coords, 2000)
+    s0 = sharded.get_chain(temp=0, discard=500, flat=True)
 
-    assert abs(np.abs(d0).mean() - np.abs(s0).mean()) < 0.3
-    assert abs(d0.std() - s0.std()) < 0.5
+    # Both cold chains sit on the +/-5 modes with balanced occupation.
+    for c in (d0, s0):
+        assert abs((c > 0).mean() - 0.5) < 0.1, (c > 0).mean()
+    assert abs(np.abs(d0).mean() - np.abs(s0).mean()) < 0.1, (
+        np.abs(d0).mean(),
+        np.abs(s0).mean(),
+    )
+    assert abs(d0.std() - s0.std()) < 0.15, (d0.std(), s0.std())
 
 
 def test_temp_sharded_validation():
