@@ -71,6 +71,21 @@ def main():
 
     steps_per_sec = reps * nsteps / dt
     walker_steps_per_sec = steps_per_sec * nwalkers
+
+    # Second BASELINE headline: effective samples/sec, measured honestly
+    # with chain storage ON (device->host streaming included) and tau
+    # estimated from the stored chain.
+    thin_by, kept = 5, 80
+    sampler.reset()
+    t1 = time.perf_counter()
+    sampler.run_mcmc(st, kept, thin_by=thin_by, skip_initial_state_check=True)
+    dt_store = time.perf_counter() - t1
+    # get_autocorr_time is in stored-step units; x thin_by -> proposals.
+    tau = np.asarray(sampler.get_autocorr_time(quiet=True)) * thin_by
+    tau_max = float(np.max(tau))
+    proposals_per_sec = kept * thin_by / dt_store
+    ess_per_sec = nwalkers * proposals_per_sec / tau_max
+
     print(
         json.dumps(
             {
@@ -79,6 +94,11 @@ def main():
                 "unit": "walker-steps/s",
                 "vs_baseline": round(
                     walker_steps_per_sec / BASELINE_WALKER_STEPS_PER_SEC, 2
+                ),
+                "ess_per_sec": round(ess_per_sec, 1),
+                "ess_tau_max_proposals": round(tau_max, 2),
+                "stored_walker_steps_per_sec": round(
+                    nwalkers * proposals_per_sec, 1
                 ),
             }
         )

@@ -46,7 +46,9 @@ def main():
         return -0.5 * jnp.sum(y * y, axis=-1)
 
     de = moves.DEMove(pair_mode="roll", randomize_split=False)
-    sn = moves.DESnookerMove(pair_mode="roll", randomize_split=False)
+    sn = moves.DESnookerMove(
+        pair_mode="roll", nsplits=2, randomize_split=False
+    )
     cfg = {
         "mixture": [(de, 0.8), (sn, 0.2)],
         "de": de,

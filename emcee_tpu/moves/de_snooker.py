@@ -52,7 +52,19 @@ class DESnookerMove(RedBlueMove):
         if pair_mode not in ("random", "roll"):
             raise ValueError(f"unknown pair_mode: {pair_mode!r}")
         self.pair_mode = pair_mode
-        kwargs["nsplits"] = 4
+        # Reference forces nsplits=4 (three disjoint complement groups,
+        # de_snooker.py:28).  In roll mode nsplits=2 is also supported:
+        # the three points come from three independent shifts of the one
+        # complementary half — still drawn from the frozen complement, so
+        # detailed balance is untouched, and the step count halves (the
+        # workload-3 mixture performance configuration).
+        kwargs.setdefault("nsplits", 4)
+        if kwargs["nsplits"] != 4 and not (
+            pair_mode == "roll" and kwargs["nsplits"] == 2
+        ):
+            raise ValueError(
+                "DESnookerMove needs nsplits=4 (or 2 with pair_mode='roll')"
+            )
         super().__init__(**kwargs)
 
     def n_extra_uniforms(self, ng, nc):
@@ -69,8 +81,9 @@ class DESnookerMove(RedBlueMove):
             u4 = jax.random.uniform(key, (4,), dtype=s.dtype)
         perm_idx = jnp.minimum((u4[0] * 6).astype(jnp.int32), 5)
         order = jnp.asarray(_PERMS3)[perm_idx]  # (3,)
+        parts = [c_parts[i % len(c_parts)] for i in range(3)]
         picks = []
-        for u_k, cpart in zip(u4[1:], c_parts):
+        for u_k, cpart in zip(u4[1:], parts):
             shift = (u_k * cpart.shape[0]).astype(jnp.int32)
             picks.append(jnp.roll(cpart, -shift, axis=0)[:ns])
         w = jnp.stack(picks, axis=0)  # (3, ns, ndim)

@@ -20,3 +20,14 @@ def test_normal_de_snooker_roll_blocked():
         moves.DESnookerMove(pair_mode="roll", randomize_split=False),
         nsteps=4000,
     )
+
+
+def test_normal_de_snooker_roll_2split():
+    """nsplits=2 roll variant (three shifted draws from one complement
+    half) — same oracle, half the sub-steps."""
+    _test_normal(
+        moves.DESnookerMove(
+            pair_mode="roll", nsplits=2, randomize_split=False
+        ),
+        nsteps=4000,
+    )
