@@ -50,7 +50,13 @@ def main():
         pair_mode="roll", nsplits=2, randomize_split=False
     )
     cfg = {
-        "mixture": [(de, 0.8), (sn, 0.2)],
+        "mixture": [(de, 0.8), (sn, 0.2)],  # lax.switch dispatch (fastest
+        # measured for this cheap log-prob: 8.3e7 w-s/s)
+        # BlendedMove computes every sub-proposal and shares one log-prob
+        # eval — wins when the likelihood dominates, loses here (6.0e7).
+        "blended": moves.BlendedMove(
+            [(de, 0.8), (sn, 0.2)], randomize_split=False
+        ),
         "de": de,
         "snooker": sn,
     }[args.config]

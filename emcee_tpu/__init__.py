@@ -3,8 +3,8 @@
 A from-scratch JAX/XLA re-design with the capabilities of dfm/emcee (the
 Goodman & Weare affine-invariant ensemble sampler family), built for TPU:
 fused jitted chain steps, walker sharding over device meshes with ICI
-collectives, Pallas inner-loop kernels, and asynchronous host chain
-streaming.  Public surface mirrors the reference
+collectives, and asynchronous host chain streaming.  Public surface
+mirrors the reference
 (``/root/reference/src/emcee/__init__.py:22-36``).
 """
 

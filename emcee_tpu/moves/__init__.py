@@ -7,8 +7,10 @@ concrete ``StretchMove``, ``WalkMove``, ``DEMove``, ``DESnookerMove``,
 """
 
 from .base import Move
+from .blended import BlendedMove
 from .de import DEMove
 from .de_snooker import DESnookerMove
+from .side import SideMove
 from .gaussian import GaussianMove
 from .kde import KDEMove
 from .mh import MHMove
@@ -26,4 +28,6 @@ __all__ = [
     "KDEMove",
     "DEMove",
     "DESnookerMove",
+    "SideMove",
+    "BlendedMove",
 ]

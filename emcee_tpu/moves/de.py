@@ -32,68 +32,13 @@ class DEMove(RedBlueMove):
     """
 
     def __init__(self, sigma=1.0e-5, gamma0=None, pair_mode="random",
-                 engine="xla", **kwargs):
+                 **kwargs):
         self.sigma = float(sigma)
         self.gamma0 = gamma0
         if pair_mode not in ("random", "roll"):
             raise ValueError(f"unknown pair_mode: {pair_mode!r}")
-        if engine not in ("xla", "pallas"):
-            raise ValueError(f"unknown engine: {engine!r}")
         self.pair_mode = pair_mode
-        self.engine = engine
         super().__init__(**kwargs)
-
-    def _g0(self, gndim):
-        if self.gamma0 is not None:
-            return self.gamma0
-        # "Pure MAGIC" default from the two references (de.py:36-38).
-        return 2.38 / float(np.sqrt(2.0 * gndim))
-
-    def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model,
-               extra=None):
-        """Fused Pallas half-step (roll pairing) when selected."""
-        if (
-            self.engine != "pallas"
-            or blobs_s is not None
-            or model.param_axis is not None
-        ):
-            return super()._inner(
-                k, s, c_parts, lp_s, blobs_s, log_u, model, extra=extra
-            )
-
-        from ..ops.de_kernel import fused_de_half_step
-
-        if model.axis_name is not None:
-            c_parts = tuple(
-                jax.lax.all_gather(c, model.axis_name, axis=0, tiled=True)
-                for c in c_parts
-            )
-        c = jnp.concatenate(c_parts, axis=0)
-        ns = s.shape[0]
-        nc = c.shape[0]
-        z = jax.random.normal(k, (ns + 2,), dtype=s.dtype)
-        u1 = jax.scipy.stats.norm.cdf(z[ns])
-        u2 = jax.scipy.stats.norm.cdf(z[ns + 1])
-        s1 = (u1 * nc).astype(jnp.int32)
-        d = 1 + (u2 * (nc - 1)).astype(jnp.int32)
-        s2 = (s1 + d) % nc
-
-        def lp_fn(q):
-            return model.compute_log_prob(q)[0]
-
-        sel_c, sel_lp, acc = fused_de_half_step(
-            s1,
-            s2,
-            s,
-            c,
-            lp_s,
-            z[:ns],
-            log_u,
-            log_prob_fn=lp_fn,
-            g0=self._g0(model.global_ndim(s.shape[1])),
-            sigma=self.sigma,
-        )
-        return sel_c, sel_lp, None, acc
 
     def get_proposal(self, key, s, c_parts, model):
         c = jnp.concatenate(c_parts, axis=0)

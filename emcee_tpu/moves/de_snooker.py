@@ -79,13 +79,19 @@ class DESnookerMove(RedBlueMove):
             u4 = extra[:4]
         else:
             u4 = jax.random.uniform(key, (4,), dtype=s.dtype)
-        perm_idx = jnp.minimum((u4[0] * 6).astype(jnp.int32), 5)
-        order = jnp.asarray(_PERMS3)[perm_idx]  # (3,)
         parts = [c_parts[i % len(c_parts)] for i in range(3)]
         picks = []
         for u_k, cpart in zip(u4[1:], parts):
             shift = (u_k * cpart.shape[0]).astype(jnp.int32)
             picks.append(jnp.roll(cpart, -shift, axis=0)[:ns])
+        if len(c_parts) == 1:
+            # All three draws come from the same complement half under
+            # i.i.d. shifts — the (z, z1, z2) roles are already
+            # exchangeable, so the role shuffle is redundant (and its
+            # (3, ns, ndim) stack + gather is the expensive part).
+            return picks[0], picks[1], picks[2]
+        perm_idx = jnp.minimum((u4[0] * 6).astype(jnp.int32), 5)
+        order = jnp.asarray(_PERMS3)[perm_idx]  # (3,)
         w = jnp.stack(picks, axis=0)  # (3, ns, ndim)
         return w[order[0]], w[order[1]], w[order[2]]
 
@@ -121,10 +127,10 @@ class DESnookerMove(RedBlueMove):
         norm2 = model.psum_params(jnp.sum(delta**2, axis=-1))
         norm = jnp.sqrt(norm2)
         u = delta / norm[:, None]
-        proj = model.psum_params(
-            jnp.einsum("ij,ij->i", u, z1)
-        ) - model.psum_params(jnp.einsum("ij,ij->i", u, z2))
-        q = s + u * (self.gammas * proj)[:, None]
-        qz2 = model.psum_params(jnp.sum((q - z) ** 2, axis=-1))
-        metropolis = 0.5 * jnp.log(qz2) - jnp.log(norm)
+        proj = model.psum_params(jnp.einsum("ij,ij->i", u, z1 - z2))
+        gp = self.gammas * proj
+        q = s + u * gp[:, None]
+        # q - z = delta + gp*u = (norm + gp)*u with |u| = 1, so
+        # |q - z| = |norm + gp| exactly — no third reduction pass needed.
+        metropolis = jnp.log(jnp.abs(norm + gp)) - jnp.log(norm)
         return q, (model.global_ndim(ndim) - 1.0) * metropolis

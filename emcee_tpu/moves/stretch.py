@@ -7,9 +7,10 @@ random member of the complement, propose ``q = c_r - (c_r - s) * z`` and
 carry the affine-invariance Hastings factor ``(ndim-1) log z``.
 
 The whole proposal is a handful of fused elementwise ops plus one gather —
-XLA fuses it into the surrounding accept/select program.  A hand-written
-Pallas variant lives in ``emcee_tpu.ops.stretch_kernel`` for the fully fused
-proposal+accept inner loop.
+XLA fuses it into the surrounding accept/select program.  (Hand-written
+Pallas variants were built and measured in rounds 1-2 and lost to this
+XLA pipeline on every tested shape; see docs/performance.md "Why there is
+no Pallas engine".)
 """
 
 from __future__ import annotations
@@ -39,73 +40,17 @@ class StretchMove(RedBlueMove):
             latency-bound on TPU).
     """
 
-    def __init__(self, a=2.0, pair_mode="random", engine="xla", **kwargs):
+    def __init__(self, a=2.0, pair_mode="random", **kwargs):
         self.a = float(a)
         if pair_mode not in ("random", "roll"):
             raise ValueError(f"unknown pair_mode: {pair_mode!r}")
-        if engine not in ("xla", "pallas"):
-            raise ValueError(f"unknown engine: {engine!r}")
         self.pair_mode = pair_mode
-        self.engine = engine
         super().__init__(**kwargs)
-
-    def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model,
-               extra=None):
-        """Dispatch to the fused Pallas half-step when selected.
-
-        The Pallas engine runs the whole half-step (z-draw, roll pairing,
-        proposal, inlined log-prob, accept, select) as one VMEM-resident
-        kernel — see ``ops/stretch_kernel.py``.  Falls back to the generic
-        XLA path for blobbed runs or parameter sharding.
-        """
-        if (
-            self.engine != "pallas"
-            or blobs_s is not None
-            or model.param_axis is not None
-        ):
-            return super()._inner(
-                k, s, c_parts, lp_s, blobs_s, log_u, model, extra=extra
-            )
-
-        from ..ops.stretch_kernel import fused_stretch_half_step
-
-        if model.axis_name is not None:
-            c_parts = tuple(
-                jax.lax.all_gather(c, model.axis_name, axis=0, tiled=True)
-                for c in c_parts
-            )
-        c = jnp.concatenate(c_parts, axis=0)
-        key_z, key_r = jax.random.split(k)
-        u_z = jax.random.uniform(key_z, (s.shape[0],), dtype=s.dtype)
-        # Mosaic dynamic reads need sublane-aligned offsets: draw the
-        # partner shift in units of 8 rows (uniform over nc//8 offsets —
-        # still exogenous randomness, detailed balance intact).
-        nc = c.shape[0]
-        if nc >= 8:
-            shift = 8 * jax.random.randint(key_r, (), 0, nc // 8)
-        else:
-            shift = jax.random.randint(key_r, (), 0, nc)
-
-        def lp_fn(q):
-            return model.compute_log_prob(q)[0]
-
-        sel_c, sel_lp, acc = fused_stretch_half_step(
-            shift,
-            s,
-            c,
-            lp_s,
-            u_z,
-            log_u,
-            log_prob_fn=lp_fn,
-            a=self.a,
-            gndim=model.global_ndim(s.shape[1]),
-        )
-        return sel_c, sel_lp, None, acc
 
     def n_extra_uniforms(self, ng, nc):
         # Roll mode folds its z-draw + shift into the engine's single
         # per-step RNG kernel (every launch costs ~55 us on this runtime).
-        if self.pair_mode == "roll" and self.engine != "pallas":
+        if self.pair_mode == "roll":
             return ng + 1
         return 0
 

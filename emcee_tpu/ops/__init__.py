@@ -1,4 +1,4 @@
-"""Compute kernels and diagnostics (XLA + Pallas)."""
+"""Compute kernels and diagnostics (fused XLA)."""
 
 from . import autocorr
 

@@ -48,3 +48,35 @@ def test_de_snooker_mixture_blocked_roll():
         ndim=3,
         nsteps=3000,
     )
+
+
+def test_blended_mixture():
+    """BlendedMove: fused mixture (shared log-prob eval, no lax.switch)
+    must pass the same oracle as the switch mixture."""
+    _test_normal(
+        moves.BlendedMove(
+            [
+                (moves.DEMove(pair_mode="roll"), 0.8),
+                (
+                    moves.DESnookerMove(pair_mode="roll", nsplits=2),
+                    0.2,
+                ),
+            ],
+            randomize_split=False,
+        ),
+        ndim=3,
+        nsteps=3000,
+    )
+
+
+def test_blended_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        moves.BlendedMove([moves.DEMove()])
+    with pytest.raises(ValueError):
+        moves.BlendedMove([moves.DEMove(), moves.GaussianMove(0.5)])
+    with pytest.raises(ValueError):
+        moves.BlendedMove(
+            [moves.DEMove(), moves.DESnookerMove()]
+        )  # nsplits 2 vs 4
