@@ -11,6 +11,7 @@ We report our measured walker-steps/s/chip divided by that anchor.
 """
 
 import json
+import logging
 import time
 
 import jax
@@ -24,6 +25,9 @@ BASELINE_WALKER_STEPS_PER_SEC = 140.0 * 32.0  # reference monitor.ipynb anchor
 
 
 def main():
+    # The short-chain tau caution (quiet=True path) logs a warning; keep
+    # stdout/stderr to exactly the one JSON line the driver parses.
+    logging.getLogger("emcee_tpu.ops.autocorr").setLevel(logging.ERROR)
     nwalkers, ndim = 100_000, 5
     nsteps = 256
 
@@ -74,9 +78,20 @@ def main():
 
     # Second BASELINE headline: effective samples/sec, measured honestly
     # with chain storage ON (device->host streaming included) and tau
-    # estimated from the stored chain.
-    thin_by, kept = 5, 80
-    sampler.reset()
+    # estimated from the stored chain.  A separate sampler with a small
+    # scan_unroll keeps this chunk shape's XLA compile short (the remote
+    # compiler charges minutes for large unrolled store=True programs).
+    thin_by, kept = 5, 60
+    sampler = EnsembleSampler(
+        nwalkers,
+        ndim,
+        log_prob,
+        vectorize=True,
+        seed=1,
+        moves=moves.StretchMove(randomize_split=False, pair_mode="roll"),
+        scan_unroll=4,
+        io_chunk_bytes=1 << 28,  # one chunk -> one compile
+    )
     t1 = time.perf_counter()
     sampler.run_mcmc(st, kept, thin_by=thin_by, skip_initial_state_check=True)
     dt_store = time.perf_counter() - t1

@@ -792,14 +792,18 @@ class PTSampler:
         # even/odd pairing by step parity.
         kept0 = self.backend.iteration if store else 0
         step0 = kept0 * int(thin_by)
-        proposed = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
-        for sidx in range(step0, step0 + nsteps * int(thin_by)):
-            if self.swap_every > 0 and (
-                sidx % self.swap_every == self.swap_every - 1
-            ):
-                parity = sidx % 2
-                pairs = np.arange(parity, self.ntemps - 1, 2)
-                proposed[pairs] += self.nwalkers
+
+        def count_proposed(lo, hi):
+            """Per-pair attempt counts for global proposal indices
+            [lo, hi) — mirrors the device schedule exactly."""
+            out = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
+            for sidx in range(lo, hi):
+                if self.swap_every > 0 and (
+                    sidx % self.swap_every == self.swap_every - 1
+                ):
+                    pairs = np.arange(sidx % 2, self.ntemps - 1, 2)
+                    out[pairs] += self.nwalkers
+            return out
 
         betas_dev = jnp.asarray(self.betas)
         prev_swaps = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
@@ -835,15 +839,17 @@ class PTSampler:
             swaps_delta = np.asarray(swap_acc_host).sum(axis=1)[
                 : max(self.ntemps - 1, 1)
             ]
-            # swap_acc accumulates across chunks within this run; convert
-            # to a final absolute count when saving the last chunk.
+            # swap_acc accumulates across chunks within this run; only the
+            # attempts actually issued so far are credited, so the stored
+            # accepted/proposed pair stays consistent mid-run too.
             self.backend.save_chunk(
                 coords,
                 ll,
                 lpr,
                 accs,
                 self._base_swaps_accepted + swaps_delta,
-                self._base_swaps_proposed + proposed,
+                self._base_swaps_proposed
+                + count_proposed(step0, step0 + proposals_done),
                 state.random_state,
                 self.betas,
             )
