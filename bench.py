@@ -12,7 +12,17 @@ We report our measured walker-steps/s/chip divided by that anchor.
 
 import json
 import logging
+import os
+import sys
 import time
+
+_T0 = time.perf_counter()
+
+
+def _phase(msg):
+    if os.environ.get("BENCH_DEBUG"):
+        print(f"[{time.perf_counter() - _T0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -29,31 +39,39 @@ def main():
     # stdout/stderr to exactly the one JSON line the driver parses.
     logging.getLogger("emcee_tpu.ops.autocorr").setLevel(logging.ERROR)
     nwalkers, ndim = 100_000, 5
-    nsteps = 256
+    nsteps = 512
 
     def log_prob(x):
         return -0.5 * jnp.sum(x**2, axis=-1)
 
     # Performance configuration (see docs/performance.md): fixed-split
     # blocked engine (gather/sort-free, the original Goodman & Weare
-    # parallel algorithm) + contiguous roll pairing + scan unrolling.
-    # Statistical correctness of this configuration is enforced by the
-    # integration test suite.
+    # parallel algorithm) + contiguous roll pairing + scan unrolling +
+    # the TPU hardware RNG (prng="rbg"; the fused per-step uniform draw
+    # is the largest remaining kernel, and rbg cuts it ~1.4x vs
+    # threefry).  Statistical correctness of this configuration is
+    # enforced by the integration test suite.
     sampler = EnsembleSampler(
         nwalkers,
         ndim,
         log_prob,
         vectorize=True,
         seed=0,
+        prng="rbg",
         moves=moves.StretchMove(randomize_split=False, pair_mode="roll"),
         scan_unroll=16,
     )
-    coords = jax.random.normal(jax.random.key(1), (nwalkers, ndim))
+    _phase("init")
+    # numpy init: an eager jax.random.normal costs a full remote compile
+    coords = np.random.default_rng(1).normal(size=(nwalkers, ndim)).astype(
+        np.float32
+    )
     state = sampler._prepare_state(
-        State(coords, random_state=jax.random.key(2)), True
+        State(coords, random_state=jax.random.key(2, impl="rbg")), True
     )
     carries = sampler._init_carries()
 
+    _phase("state prepared")
     run = sampler._get_run_chunk(nsteps, 1, False, False, None)
     st, c, _ = run(state, carries)
     # Forced sync: block_until_ready can return early on the tunneled
@@ -61,6 +79,7 @@ def main():
     # forces completion without paying a multi-MB host transfer.
     float(jnp.sum(st.log_prob))
 
+    _phase("headline chunk compiled+warm")
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
@@ -81,6 +100,7 @@ def main():
     # estimated from the stored chain.  A separate sampler with a small
     # scan_unroll keeps this chunk shape's XLA compile short (the remote
     # compiler charges minutes for large unrolled store=True programs).
+    _phase("headline measured")
     thin_by, kept = 5, 60
     sampler = EnsembleSampler(
         nwalkers,
@@ -92,12 +112,15 @@ def main():
         scan_unroll=4,
         io_chunk_bytes=1 << 28,  # one chunk -> one compile
     )
+    _phase("ess sampler built")
     t1 = time.perf_counter()
     sampler.run_mcmc(st, kept, thin_by=thin_by, skip_initial_state_check=True)
     dt_store = time.perf_counter() - t1
+    _phase("ess run done")
     # get_autocorr_time is in stored-step units; x thin_by -> proposals.
     tau = np.asarray(sampler.get_autocorr_time(quiet=True)) * thin_by
     tau_max = float(np.max(tau))
+    _phase("tau done")
     proposals_per_sec = kept * thin_by / dt_store
     ess_per_sec = nwalkers * proposals_per_sec / tau_max
 

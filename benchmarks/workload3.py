@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--ndim", type=int, default=100)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--unroll", type=int, default=8)
+    ap.add_argument("--prng", default=None)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -67,6 +68,7 @@ def main():
         log_prob,
         vectorize=True,
         seed=0,
+        prng=args.prng,
         moves=cfg,
         scan_unroll=args.unroll,
     )
@@ -75,7 +77,13 @@ def main():
         dtype=jnp.float32,
     )
     state = sampler._prepare_state(
-        State(coords, random_state=jax.random.key(2)), True
+        State(
+            coords,
+            random_state=jax.random.key(2, impl=args.prng)
+            if args.prng
+            else jax.random.key(2),
+        ),
+        True
     )
     carries = sampler._init_carries()
 

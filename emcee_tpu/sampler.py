@@ -351,17 +351,36 @@ class EnsembleSampler:
 
         Mirrors the eager checks of the reference (``ensemble.py:458-551``);
         inside the jitted chain step NaN log-probs are simply rejected by
-        the Metropolis compare instead.
+        the Metropolis compare instead.  All guards fuse into ONE jitted
+        program: separate eager ops each pay a full remote-compile round
+        trip on the TPU runtime (~60 s apiece cold), which dominated
+        first-run latency.
         """
         p = jnp.asarray(coords)
-        if jnp.any(jnp.isinf(p)):
-            raise ValueError(
-                "At least one parameter value was infinite"
-            )
-        if jnp.any(jnp.isnan(p)):
+        guard = self._run_chunk_cache.get("_guard")
+        if guard is None:
+
+            def guarded(q):
+                lp, blobs = self._compute_log_prob(q)
+                return (
+                    lp,
+                    blobs,
+                    jnp.any(jnp.isinf(q)),
+                    jnp.any(jnp.isnan(q)),
+                    jnp.any(jnp.isnan(lp)),
+                )
+
+            guard = jax.jit(guarded)
+            self._run_chunk_cache["_guard"] = guard
+        log_prob, blobs, has_inf, has_nan, lp_nan = guard(p)
+        has_inf, has_nan, lp_nan = jax.device_get(
+            (has_inf, has_nan, lp_nan)
+        )
+        if has_inf:
+            raise ValueError("At least one parameter value was infinite")
+        if has_nan:
             raise ValueError("At least one parameter value was NaN")
-        log_prob, blobs = jax.jit(self._compute_log_prob)(p)
-        if np.any(np.isnan(np.asarray(log_prob))):
+        if lp_nan:
             raise ValueError("Probability function returned NaN")
         return log_prob, blobs
 

@@ -39,13 +39,14 @@ def _test_normal(
     check_acceptance=True,
     blobs=False,
     mesh=None,
+    prng=None,
 ):
     key = jax.random.key(seed)
     coords = jax.random.normal(key, (nwalkers, ndim))
 
     lp = normal_log_prob_blobs if blobs else normal_log_prob
     sampler = emcee_tpu.EnsembleSampler(
-        nwalkers, ndim, lp, moves=proposal, seed=seed, mesh=mesh
+        nwalkers, ndim, lp, moves=proposal, seed=seed, mesh=mesh, prng=prng
     )
     sampler.run_mcmc(coords, nsteps)
 

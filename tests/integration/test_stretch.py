@@ -36,3 +36,13 @@ def test_normal_stretch_roll_blocked():
 
 def test_uniform_stretch_roll():
     _test_uniform(moves.StretchMove(pair_mode="roll"))
+
+
+def test_normal_stretch_rbg_prng():
+    """The bench.py headline configuration's hardware-RNG key impl
+    (prng="rbg") must pass the same statistical oracle as threefry."""
+    _test_normal(
+        moves.StretchMove(randomize_split=False, pair_mode="roll"),
+        nsteps=3000,
+        prng="rbg",
+    )
