@@ -34,6 +34,29 @@ from emcee_tpu import moves
 BASELINE_WALKER_STEPS_PER_SEC = 140.0 * 32.0  # reference monitor.ipynb anchor
 
 
+def _np_integrated_time(x, c=5):
+    """Sokal-windowed integrated autocorrelation time, pure numpy.
+
+    Same algorithm as ``emcee_tpu.autocorr.integrated_time`` (walker-mean
+    FFT ACF + auto-window), kept host-side so the benchmark issues no
+    extra device compiles.  ``x``: (nsteps, nwalkers, ndim).
+    """
+    n, _, nd = x.shape
+    m = 1 << (2 * n - 1).bit_length()
+    taus = np.empty(nd)
+    for d in range(nd):
+        y = x[:, :, d] - x[:, :, d].mean(axis=0)
+        f = np.fft.fft(y, n=m, axis=0)
+        per_walker = np.fft.ifft(f * np.conj(f), axis=0).real[:n]
+        # Normalize each walker's ACF before averaging (reference
+        # function_1d semantics).
+        acf = (per_walker / per_walker[0]).mean(axis=1)
+        t = 2.0 * np.cumsum(acf) - 1.0
+        windows = np.arange(n) >= c * t
+        taus[d] = t[np.argmax(windows)] if windows.any() else t[-1]
+    return taus
+
+
 def main():
     # The short-chain tau caution (quiet=True path) logs a warning; keep
     # stdout/stderr to exactly the one JSON line the driver parses.
@@ -117,8 +140,11 @@ def main():
     sampler.run_mcmc(st, kept, thin_by=thin_by, skip_initial_state_check=True)
     dt_store = time.perf_counter() - t1
     _phase("ess run done")
-    # get_autocorr_time is in stored-step units; x thin_by -> proposals.
-    tau = np.asarray(sampler.get_autocorr_time(quiet=True)) * thin_by
+    # Host-numpy Sokal tau (same estimator as emcee_tpu.autocorr): the
+    # device FFT path would add several eager compiles, each a remote
+    # round trip that can cost minutes when the compile service is busy.
+    chain = np.asarray(sampler.get_chain())  # (kept, nw, nd)
+    tau = _np_integrated_time(chain) * thin_by  # -> proposal units
     tau_max = float(np.max(tau))
     _phase("tau done")
     proposals_per_sec = kept * thin_by / dt_store
