@@ -61,6 +61,7 @@ def _run(move, nwalkers=64, ndim=8, nsteps=800, seed=0):
         moves.DEMove(randomize_split=False, pair_mode="roll"),
         moves.DESnookerMove(),
         moves.GaussianMove(0.5),
+        moves.SideMove(),
     ],
     ids=[
         "stretch",
@@ -70,6 +71,7 @@ def _run(move, nwalkers=64, ndim=8, nsteps=800, seed=0):
         "de-roll",
         "snooker",
         "gaussian",
+        "side",
     ],
 )
 def test_param_sharded_statistics(move):

@@ -56,8 +56,14 @@ def test_sharded_shapes_and_stats():
         moves.DEMove(),
         moves.DESnookerMove(),
         moves.GaussianMove(0.5),
+        moves.SideMove(),
+        moves.BlendedMove(
+            [(moves.DEMove(pair_mode="roll"), 0.8),
+             (moves.SideMove(pair_mode="roll"), 0.2)],
+            randomize_split=False,
+        ),
     ],
-    ids=["stretch", "de", "snooker", "gaussian"],
+    ids=["stretch", "de", "snooker", "gaussian", "side", "blended"],
 )
 def test_sharded_moves_smoke(move):
     mesh = walker_mesh()
