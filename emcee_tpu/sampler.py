@@ -287,6 +287,70 @@ class EnsembleSampler:
         """Per-walker fraction of accepted saved-step proposals."""
         return self.backend.accepted / float(self.backend.iteration)
 
+    @property
+    def random_state(self):
+        """The sampler's PRNG key (the reference exposes its MT19937
+        state here, ``ensemble.py:217-237``; the JAX equivalent is the
+        key the next proposal will consume)."""
+        if (
+            self._previous_state is not None
+            and self._previous_state.random_state is not None
+        ):
+            return self._previous_state.random_state
+        return self._key
+
+    @random_state.setter
+    def random_state(self, key):
+        self._key = key
+        if self._previous_state is not None:
+            self._previous_state = self._previous_state._replace(
+                random_state=key
+            )
+
+    def _deprecated(self, instead):
+        warnings.warn(
+            f"this attribute is deprecated; use '{instead}' instead "
+            "(reference ensemble.py:560-595 keeps the same shims)",
+            DeprecationWarning,
+            stacklevel=3,
+        )
+
+    @property
+    def chain(self):
+        """Deprecated v2 layout ``(nwalkers, steps, ndim)``."""
+        self._deprecated("get_chain()")
+        return np.swapaxes(np.asarray(self.get_chain()), 0, 1)
+
+    @property
+    def flatchain(self):
+        self._deprecated("get_chain(flat=True)")
+        return self.get_chain(flat=True)
+
+    @property
+    def lnprobability(self):
+        self._deprecated("get_log_prob()")
+        return np.swapaxes(np.asarray(self.get_log_prob()), 0, 1)
+
+    @property
+    def flatlnprobability(self):
+        self._deprecated("get_log_prob(flat=True)")
+        return self.get_log_prob(flat=True)
+
+    @property
+    def blobs(self):
+        self._deprecated("get_blobs()")
+        return self.get_blobs()
+
+    @property
+    def flatblobs(self):
+        self._deprecated("get_blobs(flat=True)")
+        return self.get_blobs(flat=True)
+
+    @property
+    def acor(self):
+        self._deprecated("get_autocorr_time()")
+        return self.get_autocorr_time()
+
     def get_chain(self, **kwargs):
         return self.get_value("chain", **kwargs)
 

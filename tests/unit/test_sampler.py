@@ -323,3 +323,29 @@ def test_pickling():
     # The clone can keep sampling.
     clone.run_mcmc(None, 5)
     assert clone.iteration == 10
+
+
+def test_deprecated_v2_properties_and_random_state():
+    """Reference v3 keeps the v2-era attribute shims (ensemble.py:560-595)
+    and a random_state property; drop-in users get the same here."""
+    import warnings
+
+    sampler = run_sampler(None, nsteps=10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        import pytest as _pytest
+
+        with _pytest.warns(DeprecationWarning):
+            chain = sampler.chain
+    assert chain.shape[1] == 10  # (nwalkers, steps, ndim) v2 layout
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        assert sampler.flatchain.shape[0] == chain.shape[0] * 10
+        assert sampler.lnprobability.shape[1] == 10
+    key = sampler.random_state
+    assert key is not None
+    sampler.random_state = jax.random.key(42)
+    np.testing.assert_array_equal(
+        jax.random.key_data(sampler.random_state),
+        jax.random.key_data(jax.random.key(42)),
+    )
