@@ -58,6 +58,9 @@ def main():
         "blended": moves.BlendedMove(
             [(de, 0.8), (sn, 0.2)], randomize_split=False
         ),
+        "blended-switch": moves.BlendedMove(
+            [(de, 0.8), (sn, 0.2)], mode="switch", randomize_split=False
+        ),
         "de": de,
         "snooker": sn,
     }[args.config]

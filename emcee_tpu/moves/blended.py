@@ -47,7 +47,10 @@ class BlendedMove(RedBlueMove):
             the blend).
     """
 
-    def __init__(self, moves, **kwargs):
+    def __init__(self, moves, mode="select", **kwargs):
+        if mode not in ("select", "switch"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        self.mode = mode
         moves = list(moves)
         if all(hasattr(m, "__len__") and len(m) == 2 for m in moves):
             self._moves, w = map(list, zip(*moves))
@@ -80,6 +83,26 @@ class BlendedMove(RedBlueMove):
         idx = jax.random.choice(
             keys[0], n, p=jnp.asarray(self._weights)
         )
+        if self.mode == "switch":
+            # One sub-proposal computed per step via lax.switch scoped to
+            # the proposal alone (the log-prob/accept stay shared outside)
+            # — the branch payload is just (s, c_parts), far smaller than
+            # switching whole move programs at the sampler level.
+            def make_branch(i):
+                def branch(operand):
+                    s_, cp = operand
+                    q, f = self._moves[i].get_proposal(
+                        keys[1 + i], s_, cp, model
+                    )
+                    return q, jnp.broadcast_to(f, (s_.shape[0],))
+
+                return branch
+
+            return jax.lax.switch(
+                idx,
+                [make_branch(i) for i in range(n)],
+                (s, tuple(c_parts)),
+            )
         qs, fs = [], []
         for m, k in zip(self._moves, keys[1:]):
             q, f = m.get_proposal(k, s, c_parts, model)

@@ -80,3 +80,20 @@ def test_blended_validation():
         moves.BlendedMove(
             [moves.DEMove(), moves.DESnookerMove()]
         )  # nsplits 2 vs 4
+
+
+def test_blended_switch_mode():
+    """mode='switch' computes one sub-proposal per step via a
+    proposal-scoped lax.switch; same oracle."""
+    _test_normal(
+        moves.BlendedMove(
+            [
+                (moves.DEMove(pair_mode="roll"), 0.8),
+                (moves.DESnookerMove(pair_mode="roll", nsplits=2), 0.2),
+            ],
+            mode="switch",
+            randomize_split=False,
+        ),
+        ndim=3,
+        nsteps=3000,
+    )
