@@ -31,6 +31,8 @@ class DEMove(RedBlueMove):
         gamma0: mean stretch factor; default ``2.38 / sqrt(2 ndim)``.
     """
 
+    tunable = True
+
     def __init__(self, sigma=1.0e-5, gamma0=None, pair_mode="random",
                  **kwargs):
         self.sigma = float(sigma)
@@ -40,7 +42,7 @@ class DEMove(RedBlueMove):
         self.pair_mode = pair_mode
         super().__init__(**kwargs)
 
-    def get_proposal(self, key, s, c_parts, model):
+    def get_proposal(self, key, s, c_parts, model, scale=None):
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]
@@ -48,6 +50,8 @@ class DEMove(RedBlueMove):
         if g0 is None:
             # "Pure MAGIC" default from the two references (de.py:36-38).
             g0 = 2.38 / jnp.sqrt(2.0 * model.global_ndim(ndim))
+        if scale is not None:
+            g0 = g0 * scale
 
         if self.pair_mode == "roll":
             # Contiguous pairing (see StretchMove.pair_mode): two distinct

@@ -47,6 +47,8 @@ class DESnookerMove(RedBlueMove):
             (gather-free circular pairing, see module docstring).
     """
 
+    tunable = True
+
     def __init__(self, gammas=1.7, pair_mode="random", **kwargs):
         self.gammas = float(gammas)
         if pair_mode not in ("random", "roll"):
@@ -113,8 +115,9 @@ class DESnookerMove(RedBlueMove):
         w = jnp.take_along_axis(w, order[:, :, None], axis=1)
         return w[:, 0], w[:, 1], w[:, 2]
 
-    def get_proposal(self, key, s, c_parts, model, extra=None):
+    def get_proposal(self, key, s, c_parts, model, extra=None, scale=None):
         ns, ndim = s.shape
+        gammas = self.gammas if scale is None else self.gammas * scale
         if self.pair_mode == "roll":
             z, z1, z2 = self._draw_roll(key, s, c_parts, extra)
         else:
@@ -128,7 +131,7 @@ class DESnookerMove(RedBlueMove):
         norm = jnp.sqrt(norm2)
         u = delta / norm[:, None]
         proj = model.psum_params(jnp.einsum("ij,ij->i", u, z1 - z2))
-        gp = self.gammas * proj
+        gp = gammas * proj
         q = s + u * gp[:, None]
         # q - z = delta + gp*u = (norm + gp)*u with |u| = 1, so
         # |q - z| = |norm + gp| exactly — no third reduction pass needed.

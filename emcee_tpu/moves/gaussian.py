@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .base import robbins_monro_tune
 from .mh import MHMove
 
 __all__ = ["GaussianMove"]
@@ -100,25 +101,13 @@ class GaussianMove(MHMove):
         return carry
 
     def tune(self, carry, state, accepted, model=None):
-        """Robbins-Monro scale adaptation toward ``tune_target``.
-
-        The acceptance rate is averaged over the *global* ensemble: under
-        walker sharding a shard-local mean would adapt each shard's copy of
-        the (replicated) carry differently, corrupting the tuned scale.
-        """
+        """Robbins-Monro scale adaptation toward ``tune_target``
+        (shared helper; globally-averaged acceptance, see base.py)."""
         if self.tune_target is None:
             return carry
-        t = carry["t"]
-        lr = self.tune_rate / jnp.sqrt(1.0 + t.astype(jnp.float32))
-        acc_rate = jnp.mean(accepted.astype(jnp.float32))
-        if model is not None and model.axis_name is not None:
-            acc_rate = jax.lax.pmean(acc_rate, model.axis_name)
-        err = acc_rate - self.tune_target
-        return {
-            **carry,
-            "log_adj": jnp.clip(carry["log_adj"] + lr * err, -10.0, 10.0),
-            "t": t + 1,
-        }
+        return robbins_monro_tune(
+            carry, accepted, self.tune_target, self.tune_rate, model
+        )
 
     def _make_proposal(self):
         mode = self.mode

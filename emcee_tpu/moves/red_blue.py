@@ -34,7 +34,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .base import Move, tree_where
+from .base import Move, robbins_monro_tune, tree_where
 
 __all__ = ["RedBlueMove"]
 
@@ -49,17 +49,53 @@ class RedBlueMove(Move):
             blocked fast path.
         live_dangerously: Skip the ``nwalkers >= 2 * ndim`` degeneracy guard
             (reference ``red_blue.py:64-70``).
+        tune_target: optional target acceptance rate; with
+            ``run_mcmc(..., tune=True)`` the move's proposal scale adapts
+            by Robbins-Monro toward it (supported by the scale-
+            parameterized moves: Stretch, DE, Snooker, Walk, Side — the
+            reference exposes the tune hook, ``moves/move.py:9-10``, but
+            ships no tuning move).
+        tune_rate: adaptation step size (decays as ``1/sqrt(t)``).
 
     Subclasses implement ``get_proposal(key, s, c_parts) -> (q, factors)``
     where ``s`` is the ``(ns, ndim)`` group being updated and ``c_parts`` is
     a tuple of the ``nsplits - 1`` complementary group arrays (each already
-    globally gathered when running sharded).
+    globally gathered when running sharded).  Moves that support
+    acceptance-targeted tuning set ``tunable = True`` and accept a traced
+    ``scale`` keyword (a positive scalar multiplier on their proposal
+    scale; ``None`` means untuned).
     """
 
-    def __init__(self, nsplits=2, randomize_split=True, live_dangerously=False):
+    #: subclasses that accept the ``scale`` keyword opt in.
+    tunable = False
+
+    def __init__(self, nsplits=2, randomize_split=True, live_dangerously=False,
+                 tune_target=None, tune_rate=0.2):
         self.nsplits = int(nsplits)
         self.randomize_split = bool(randomize_split)
         self.live_dangerously = bool(live_dangerously)
+        if tune_target is not None and not self.tunable:
+            raise ValueError(
+                f"{type(self).__name__} does not support tune_target "
+                "(no adaptable proposal scale)"
+            )
+        self.tune_target = tune_target
+        self.tune_rate = float(tune_rate)
+
+    def init_carry(self, nwalkers, ndim):
+        if self.tune_target is None:
+            return ()
+        return {
+            "log_adj": jnp.zeros((), dtype=jnp.float32),
+            "t": jnp.zeros((), dtype=jnp.int32),
+        }
+
+    def tune(self, carry, state, accepted, model=None):
+        if self.tune_target is None:
+            return carry
+        return robbins_monro_tune(
+            carry, accepted, self.tune_target, self.tune_rate, model
+        )
 
     def get_proposal(
         self, key, s, c_parts, model
@@ -106,17 +142,24 @@ class RedBlueMove(Move):
         log_acc_u = jnp.log(u_all[:, :ng])
         extra_u = u_all[:, ng:] if n_extra else None
 
+        # Traced scale multiplier from the tuning carry (see tune()).
+        scale = (
+            None
+            if self.tune_target is None
+            else jnp.exp(carry["log_adj"]).astype(dtype)
+        )
+
         if self.randomize_split:
             return self._propose_shuffled(
                 key_perm, split_keys, log_acc_u, extra_u, state, model,
-                carry, ng
+                carry, ng, scale
             )
         return self._propose_blocked(
-            split_keys, log_acc_u, extra_u, state, model, carry, ng
+            split_keys, log_acc_u, extra_u, state, model, carry, ng, scale
         )
 
     def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model,
-               extra=None):
+               extra=None, scale=None):
         """Propose/evaluate/accept for one group; returns selected values."""
         if model.axis_name is not None:
             # Each shard proposes against the full global complement.
@@ -124,10 +167,12 @@ class RedBlueMove(Move):
                 jax.lax.all_gather(c, model.axis_name, axis=0, tiled=True)
                 for c in c_parts
             )
+        kw = {}
         if extra is not None:
-            q, factors = self.get_proposal(k, s, c_parts, model, extra=extra)
-        else:
-            q, factors = self.get_proposal(k, s, c_parts, model)
+            kw["extra"] = extra
+        if scale is not None:
+            kw["scale"] = scale
+        q, factors = self.get_proposal(k, s, c_parts, model, **kw)
         new_lp, new_blobs = model.compute_log_prob(q)
         lnpdiff = factors + new_lp - lp_s
         acc = log_u < lnpdiff
@@ -140,7 +185,7 @@ class RedBlueMove(Move):
 
     def _propose_shuffled(
         self, key_perm, split_keys, log_acc_u, extra_u, state, model,
-        carry, ng
+        carry, ng, scale=None
     ):
         """Reference-faithful path: random membership via permutation."""
         nwalkers = state.coords.shape[0]
@@ -174,6 +219,7 @@ class RedBlueMove(Move):
                 log_acc_u[split],
                 model,
                 extra=None if extra_u is None else extra_u[split],
+                scale=scale,
             )
             coords = coords.at[idx].set(sel_c)
             log_prob = log_prob.at[idx].set(sel_lp)
@@ -196,7 +242,8 @@ class RedBlueMove(Move):
         )
 
     def _propose_blocked(
-        self, split_keys, log_acc_u, extra_u, state, model, carry, ng
+        self, split_keys, log_acc_u, extra_u, state, model, carry, ng,
+        scale=None
     ):
         """Gather-free path: fixed contiguous-block membership.
 
@@ -236,6 +283,7 @@ class RedBlueMove(Move):
                 log_acc_u[split],
                 model,
                 extra=None if extra_u is None else extra_u[split],
+                scale=scale,
             )
             lo = split * ng
             coords = jax.lax.dynamic_update_slice(

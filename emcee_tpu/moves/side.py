@@ -40,6 +40,8 @@ class SideMove(RedBlueMove):
             (gather-free circular pairing, the TPU performance mode).
     """
 
+    tunable = True
+
     def __init__(self, sigma=None, pair_mode="random", **kwargs):
         self.sigma = sigma
         if pair_mode not in ("random", "roll"):
@@ -52,11 +54,13 @@ class SideMove(RedBlueMove):
             return self.sigma
         return 2.38 / float(np.sqrt(gndim))
 
-    def get_proposal(self, key, s, c_parts, model):
+    def get_proposal(self, key, s, c_parts, model, scale=None):
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]
         sigma = self._sigma(model.global_ndim(ndim))
+        if scale is not None:
+            sigma = sigma * scale
 
         if self.pair_mode == "roll":
             z = jax.random.normal(key, (ns + 2,), dtype=s.dtype)

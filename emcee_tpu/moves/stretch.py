@@ -40,6 +40,8 @@ class StretchMove(RedBlueMove):
             latency-bound on TPU).
     """
 
+    tunable = True
+
     def __init__(self, a=2.0, pair_mode="random", **kwargs):
         self.a = float(a)
         if pair_mode not in ("random", "roll"):
@@ -54,10 +56,13 @@ class StretchMove(RedBlueMove):
             return ng + 1
         return 0
 
-    def get_proposal(self, key, s, c_parts, model, extra=None):
+    def get_proposal(self, key, s, c_parts, model, extra=None, scale=None):
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]
+        # Acceptance-targeted tuning adapts the stretch range: a_eff - 1 =
+        # (a - 1) * scale keeps a_eff > 1 (z-support [1/a, a] stays valid).
+        a = self.a if scale is None else 1.0 + (self.a - 1.0) * scale
         if self.pair_mode == "roll":
             if extra is not None:
                 u = extra[:ns]
@@ -73,7 +78,7 @@ class StretchMove(RedBlueMove):
             u = jax.random.uniform(key_z, (ns,), dtype=s.dtype)
             rint = jax.random.randint(key_r, (ns,), 0, nc)
             cr = c[rint]
-        zz = ((self.a - 1.0) * u + 1.0) ** 2 / self.a
+        zz = ((a - 1.0) * u + 1.0) ** 2 / a
         factors = (model.global_ndim(ndim) - 1.0) * jnp.log(zz)
         q = cr - (cr - s) * zz[:, None]
         return q, factors

@@ -50,12 +50,14 @@ class WalkMove(RedBlueMove):
             regime where it activates.
     """
 
+    tunable = True
+
     def __init__(self, s=None, exact_subset_max=4096, **kwargs):
         self.s = s
         self.exact_subset_max = int(exact_subset_max)
         super().__init__(**kwargs)
 
-    def get_proposal(self, key, s, c_parts, model):
+    def get_proposal(self, key, s, c_parts, model, scale=None):
         if model.param_axis is not None:
             raise NotImplementedError(
                 "WalkMove does not support parameter-axis sharding (its "
@@ -67,13 +69,14 @@ class WalkMove(RedBlueMove):
         nc = c.shape[0]
         s0 = nc if self.s is None else int(self.s)
 
+        adj = 1.0 if scale is None else scale
         if s0 >= nc:
             # Shared covariance: one Cholesky + one MXU matmul for all
             # proposals.
             cov = _cov(c)
             chol = jnp.linalg.cholesky(cov)
             z = jax.random.normal(key, (ns, ndim), dtype=s.dtype)
-            return s + z @ chol.T, jnp.zeros(ns, dtype=s.dtype)
+            return s + adj * (z @ chol.T), jnp.zeros(ns, dtype=s.dtype)
 
         exact = nc <= self.exact_subset_max
 
@@ -84,9 +87,10 @@ class WalkMove(RedBlueMove):
             else:
                 inds = jax.random.randint(k_sub, (s0,), 0, nc)
             cov = _cov(c[inds])
-            return jax.random.multivariate_normal(
-                k_draw, si, cov, method="svd", dtype=s.dtype
+            dz = jax.random.multivariate_normal(
+                k_draw, jnp.zeros_like(si), cov, method="svd", dtype=s.dtype
             )
+            return si + adj * dz
 
         keys = jax.random.split(key, ns)
         q = jax.vmap(one)(keys, s)

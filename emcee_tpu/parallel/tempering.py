@@ -237,9 +237,10 @@ class PTSampler:
         self._run_cache = {}
 
     def reset(self):
+        # Move carries (per-rung tuned scales etc.) survive reset, like
+        # the reference's stateful move objects (see EnsembleSampler.reset).
         self.backend.reset(self.ntemps, self.nwalkers, self.ndim)
         self._previous_state = None
-        self._move_carries = None
         self._base_swaps_accepted = np.zeros(
             max(self.ntemps - 1, 1), dtype=np.int64
         )
@@ -755,7 +756,8 @@ class PTSampler:
             initial_state, skip_initial_state_check
         )
         # Move carries (tuned scales, sequential counters) persist across
-        # calls like EnsembleSampler's; reset() clears them.
+        # calls like EnsembleSampler's; reset() keeps them (reference
+        # move-object semantics).
         carries = getattr(self, "_move_carries", None)
         if carries is None:
             carries = self._init_carries()

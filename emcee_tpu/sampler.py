@@ -405,10 +405,16 @@ class EnsembleSampler:
         return self.backend.get_autocorr_time(**kwargs)
 
     def reset(self):
-        """Clear the backend chain (reference ensemble.py:244-249)."""
+        """Clear the backend chain (reference ensemble.py:244-249).
+
+        Move carries (tuned proposal scales, sequential dim counters) are
+        deliberately KEPT: in the reference that state lives on the move
+        objects, which ``reset()`` never touches — so the canonical
+        tuned-burn-in -> ``reset()`` -> production flow keeps its adapted
+        scales.  Build a fresh sampler (or move) to discard them.
+        """
         self.backend.reset(self.nwalkers, self.ndim)
         self._previous_state = None
-        self._move_carries = None
 
     def compute_log_prob(self, coords):
         """Evaluate the batched log-prob with host-side NaN/inf guards.
@@ -766,7 +772,8 @@ class EnsembleSampler:
         state = self._prepare_state(initial_state, skip_check)
         # Move carries (e.g. tuned proposal scales, sequential dim
         # counters) persist across calls like the reference's stateful
-        # move objects; reset() clears them.
+        # move objects; reset() keeps them (reference move-object
+        # semantics: reset only clears the backend).
         carries = getattr(self, "_move_carries", None)
         if carries is None:
             carries = self._init_carries()

@@ -232,3 +232,77 @@ def test_walk_subset_scales_to_large_ensembles():
     assert np.all(np.isfinite(q))
     acc = np.asarray(accepted).mean()
     assert 0.05 < acc < 0.99
+
+
+def test_red_blue_tune_targets_acceptance():
+    """Ensemble-move tuning: a grossly over-stretched StretchMove and an
+    oversized DEMove adapt toward the target acceptance under tune=True,
+    and the adapted scale persists across runs (reference stateful-move
+    semantics)."""
+    from emcee_tpu import EnsembleSampler
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    nw, nd = 32, 4
+    p0 = np.random.default_rng(0).normal(size=(nw, nd))
+    for mv, untuned_max in [
+        (moves.StretchMove(a=60.0, tune_target=0.3), 0.15),
+        (moves.DEMove(gamma0=8.0, tune_target=0.3), 0.15),
+        (moves.SideMove(sigma=20.0, tune_target=0.3), 0.15),
+    ]:
+        s = EnsembleSampler(nw, nd, lp, moves=mv, seed=0)
+        s.run_mcmc(p0, 1500, tune=True)
+        before = s.backend.accepted.copy()
+        s.run_mcmc(None, 500, tune=True)
+        late = (s.backend.accepted - before) / 500.0
+        assert 0.15 < late.mean() < 0.45, (type(mv).__name__, late.mean())
+        # Adapted carry persists with tune=False (no further adaptation).
+        before = s.backend.accepted.copy()
+        s.run_mcmc(None, 300)
+        fixed = (s.backend.accepted - before) / 300.0
+        assert 0.1 < fixed.mean() < 0.5, (type(mv).__name__, fixed.mean())
+
+        # Control: untuned, the oversized proposal stays stuck.
+        mv2 = type(mv)(
+            **{
+                "StretchMove": {"a": 60.0},
+                "DEMove": {"gamma0": 8.0},
+                "SideMove": {"sigma": 20.0},
+            }[type(mv).__name__]
+        )
+        s2 = EnsembleSampler(nw, nd, lp, moves=mv2, seed=0)
+        s2.run_mcmc(p0, 500)
+        assert s2.acceptance_fraction.mean() < untuned_max, type(mv).__name__
+
+
+def test_red_blue_tune_validation():
+    """Moves without an adaptable scale reject tune_target loudly."""
+    with pytest.raises(ValueError):
+        moves.KDEMove(tune_target=0.3)
+    with pytest.raises(ValueError):
+        moves.BlendedMove(
+            [moves.DEMove(), moves.DEMove(sigma=1e-3)], tune_target=0.3
+        )
+
+
+def test_red_blue_tuned_sampling_is_correct():
+    """After a tuned burn-in, fixed-scale sampling passes the moment
+    oracle (diminishing adaptation; samples drawn post-tune)."""
+    from emcee_tpu import EnsembleSampler
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    nw, nd = 32, 2
+    p0 = np.random.default_rng(1).normal(size=(nw, nd))
+    s = EnsembleSampler(
+        nw, nd, lp, moves=moves.StretchMove(a=10.0, tune_target=0.35),
+        seed=3,
+    )
+    st = s.run_mcmc(p0, 800, tune=True)
+    s.reset()
+    s.run_mcmc(st, 3000)
+    samps = np.asarray(s.get_chain(flat=True))
+    assert np.all(np.abs(samps.mean(axis=0)) < 0.08)
+    assert np.all(np.abs(samps.std(axis=0) - 1) < 0.05)

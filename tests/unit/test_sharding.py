@@ -166,3 +166,27 @@ def test_sharded_generator():
     assert n == 4
     assert s.iteration == 4
     assert s.get_chain().shape == (4, 64, 3)
+
+
+def test_sharded_red_blue_tune():
+    """Ensemble-move tuning under walker sharding: the acceptance rate is
+    pmean-ed over the mesh (a shard-local mean would diverge the
+    replicated carry), and the tuned run reaches the target window."""
+    mesh = walker_mesh(8)
+    nw, nd = 64, 3
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(5), (nw, nd))
+    )
+    s = EnsembleSampler(
+        nw,
+        nd,
+        normal_log_prob,
+        moves=moves.StretchMove(a=60.0, tune_target=0.3),
+        seed=0,
+        mesh=mesh,
+    )
+    s.run_mcmc(coords, 1200, tune=True)
+    before = s.backend.accepted.copy()
+    s.run_mcmc(None, 400, tune=True)
+    late = (s.backend.accepted - before) / 400.0
+    assert 0.15 < late.mean() < 0.45, late.mean()

@@ -240,3 +240,19 @@ def test_adapted_ladder_restored_on_resume():
     # And it keeps running from there.
     resumed.run_mcmc(None, 10)
     assert resumed.iteration == 5 * 80 + 10
+
+
+def test_pt_tune_hook_adapts_red_blue():
+    """StretchMove(tune_target=...) adapts per rung inside a PT run (the
+    red-blue family's acceptance-targeted tuning, not just GaussianMove)."""
+    T, nw, nd = 4, 16, 2
+    mv = moves.StretchMove(a=40.0, tune_target=0.35)
+    pt = PTSampler(T, nw, nd, log_like_bimodal, log_prior_box,
+                   moves=mv, seed=0)
+    coords = jax.random.normal(jax.random.key(2), (T, nw, nd))
+    pt.run_mcmc(coords, 150, tune=True)
+    carry = jax.device_get(pt._move_carries[0])
+    assert carry["t"].shape == (T,)
+    assert np.all(carry["t"] == 150)
+    # The oversized stretch must have been pulled in on every rung.
+    assert np.all(carry["log_adj"] < -1e-2)
