@@ -41,19 +41,43 @@ def _np_integrated_time(x, c=5):
     FFT ACF + auto-window), kept host-side so the benchmark issues no
     extra device compiles.  ``x``: (nsteps, nwalkers, ndim).
     """
-    n, _, nd = x.shape
+    try:
+        from scipy import fft as _fft
+
+        def _rfft(a, m):
+            return _fft.rfft(a, n=m, axis=-1, workers=-1)
+
+        def _irfft(a, m):
+            return _fft.irfft(a, n=m, axis=-1, workers=-1)
+
+    except ImportError:  # numpy fallback (promotes to f64, single thread)
+        def _rfft(a, m):
+            return np.fft.rfft(a, n=m, axis=-1)
+
+        def _irfft(a, m):
+            return np.fft.irfft(a, n=m, axis=-1)
+
+    n, nw, nd = x.shape
     m = 1 << (2 * n - 1).bit_length()
+    # One real-input FFT over all (walker, dim) series at once, laid out
+    # (series, time) so the transform runs along the contiguous axis;
+    # scipy keeps float32 (complex64 spectra) and multithreads.  The
+    # power spectrum is handed to irfft as a REAL array: passing the
+    # complex f*conj(f) (zero imaginary part) hits a ~100x-slower path.
+    y = np.ascontiguousarray(
+        (x - x.mean(axis=0)).reshape(n, nw * nd).T.astype(np.float32)
+    )
+    f = _rfft(y, m)
+    per_series = _irfft(f.real**2 + f.imag**2, m)[:, :n]
+    # Normalize each walker's ACF before averaging (reference
+    # function_1d semantics), then average over walkers per dim.
+    per_series /= per_series[:, :1]
+    acf = per_series.reshape(nw, nd, n).mean(axis=0).T  # (n, nd)
+    t = 2.0 * np.cumsum(acf, axis=0) - 1.0
     taus = np.empty(nd)
     for d in range(nd):
-        y = x[:, :, d] - x[:, :, d].mean(axis=0)
-        f = np.fft.fft(y, n=m, axis=0)
-        per_walker = np.fft.ifft(f * np.conj(f), axis=0).real[:n]
-        # Normalize each walker's ACF before averaging (reference
-        # function_1d semantics).
-        acf = (per_walker / per_walker[0]).mean(axis=1)
-        t = 2.0 * np.cumsum(acf) - 1.0
-        windows = np.arange(n) >= c * t
-        taus[d] = t[np.argmax(windows)] if windows.any() else t[-1]
+        windows = np.arange(n) >= c * t[:, d]
+        taus[d] = t[windows.argmax(), d] if windows.any() else t[-1, d]
     return taus
 
 
