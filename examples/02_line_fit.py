@@ -11,6 +11,7 @@ import numpy as np
 from emcee_tpu import EnsembleSampler
 
 m_true, b_true, f_true = -0.9594, 4.294, 0.534
+nwalkers, ndim, nsteps = 32, 3, 5_000
 
 
 def make_data(N=50, seed=123):
@@ -43,13 +44,12 @@ def main():
         ll = -0.5 * jnp.sum((y - model) ** 2 / sigma2 + jnp.log(sigma2))
         return lp + jnp.where(jnp.isfinite(lp), ll, 0.0), lp  # blob = prior
 
-    nwalkers, ndim = 32, 3
     p0 = np.array([-1.0, 4.5, -0.7]) + 1e-4 * np.random.default_rng(
         0
     ).normal(size=(nwalkers, ndim))
 
     sampler = EnsembleSampler(nwalkers, ndim, log_prob, seed=42)
-    sampler.run_mcmc(p0, 5000, progress=True)
+    sampler.run_mcmc(p0, nsteps, progress=True)
 
     tau = sampler.get_autocorr_time(quiet=True)
     print("tau:", tau, "(reference tutorial: ~[39.2, 40.0, 35.9])")

@@ -1,0 +1,63 @@
+"""Smoke tests: every shipped example runs end-to-end (at reduced size).
+
+The reference's tutorials are executable documentation; these tests keep
+``examples/`` from bit-rotting by importing each script and driving its
+``main()`` with the module-level size knobs shrunk to CI scale.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "examples",
+)
+
+
+def _load(name):
+    path = os.path.join(_EXAMPLES, name)
+    spec = importlib.util.spec_from_file_location(
+        f"_example_{name.removesuffix('.py')}", path
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_example_quickstart():
+    mod = _load("01_quickstart_gaussian.py")
+    mod.nsteps = 200
+    mod.main()
+
+
+def test_example_line_fit():
+    mod = _load("02_line_fit.py")
+    mod.nsteps = 300
+    mod.main()
+
+
+def test_example_correlated_100d():
+    mod = _load("03_correlated_100d.py")
+    mod.nwalkers = 512
+    mod.nsteps = 20
+    mod.main()
+
+
+def test_example_tempered():
+    mod = _load("04_tempered_multimodal.py")
+    mod.ntemps = 4
+    mod.nsteps = 60
+    mod.main()
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 2, reason="needs multiple devices"
+)
+def test_example_hierarchical_sharded():
+    mod = _load("05_hierarchical_sharded.py")
+    mod.nsteps = 3
+    mod.main()
