@@ -10,6 +10,13 @@ from .ops.autocorr import (  # noqa: F401
     function_1d,
     integrated_time,
     next_pow_two,
+    rhat,
 )
 
-__all__ = ["function_1d", "integrated_time", "AutocorrError", "next_pow_two"]
+__all__ = [
+    "function_1d",
+    "integrated_time",
+    "rhat",
+    "AutocorrError",
+    "next_pow_two",
+]

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["function_1d", "integrated_time", "AutocorrError"]
+__all__ = ["function_1d", "integrated_time", "rhat", "AutocorrError"]
 
 logger = logging.getLogger(__name__)
 
@@ -141,3 +141,47 @@ def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True):
         logger.warning(msg)
 
     return tau_est
+
+
+def rhat(x, split=True):
+    """Gelman-Rubin potential scale reduction factor, per parameter.
+
+    Args:
+        x: ``(n_step, n_chain)`` or ``(n_step, n_chain, n_param)`` chain
+            (the ``get_chain()`` layout, walkers as chains).
+        split: split each chain into halves first (split-R-hat, Gelman
+            et al. 2013), so within-chain drift registers too.  Default
+            True.
+
+    Returns:
+        ``(n_param,)`` array; values near 1 indicate the between-chain
+        and within-chain variances agree.  The usual threshold is
+        R-hat < 1.01.
+
+    Note: ensemble walkers are *dependent* chains (every proposal uses
+    the complementary walkers), so on a single ensemble this is a rough
+    stuck-mode / non-stationarity diagnostic rather than a strict
+    convergence proof — the same caveat as running arviz on reference
+    emcee output.  For a strict R-hat, pass chains from independently
+    seeded runs.  No counterpart exists in the reference (its only
+    diagnostic is ``integrated_time``); this extends the toolkit.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    if x.ndim != 3:
+        raise ValueError("invalid dimensions")
+    n = x.shape[0]
+    if split:
+        h = n // 2
+        if h < 2:
+            raise ValueError("need at least 4 steps for split R-hat")
+        x = np.concatenate([x[:h], x[n - h :]], axis=1)
+        n = h
+    if x.shape[1] < 2:
+        raise ValueError("R-hat needs at least 2 chains")
+    means = x.mean(axis=0)  # (m, d)
+    between = n * means.var(axis=0, ddof=1)  # (d,)
+    within = x.var(axis=0, ddof=1).mean(axis=0)  # (d,)
+    var_hat = (n - 1) / n * within + between / n
+    return np.sqrt(var_hat / within)

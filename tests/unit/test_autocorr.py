@@ -61,3 +61,70 @@ def test_function_1d():
 def test_function_1d_invalid():
     with pytest.raises(ValueError):
         function_1d(np.zeros((10, 2)))
+
+
+def test_rhat_stationary_near_one():
+    """IID chains from one distribution: split R-hat ~ 1."""
+    from emcee_tpu.autocorr import rhat
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2000, 16, 3))
+    r = rhat(x)
+    assert r.shape == (3,)
+    assert np.all(r < 1.02), r
+    # 2-D input (single parameter) works too.
+    assert rhat(x[:, :, 0]).shape == (1,)
+
+
+def test_rhat_flags_stuck_chain():
+    """One chain stuck in a shifted mode: R-hat far above 1."""
+    from emcee_tpu.autocorr import rhat
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1000, 8, 2))
+    x[:, 0, 0] += 6.0
+    r = rhat(x)
+    assert r[0] > 1.5, r
+    assert r[1] < 1.02, r
+
+
+def test_rhat_split_catches_drift():
+    """A mean drift inside every chain is invisible to unsplit R-hat but
+    caught by the split variant."""
+    from emcee_tpu.autocorr import rhat
+
+    rng = np.random.default_rng(2)
+    n = 1000
+    drift = np.linspace(-3, 3, n)[:, None, None]
+    x = rng.normal(size=(n, 8, 1)) + drift
+    assert rhat(x, split=False)[0] < 1.05
+    assert rhat(x, split=True)[0] > 1.5
+
+
+def test_rhat_validation():
+    from emcee_tpu.autocorr import rhat
+
+    with pytest.raises(ValueError):
+        rhat(np.zeros((10, 2, 2, 2)))
+    with pytest.raises(ValueError):
+        rhat(np.zeros((3, 4)))  # too short for split
+    with pytest.raises(ValueError):
+        rhat(np.zeros((100, 1)), split=False)  # one chain, unsplit
+    # One chain WITH splitting is valid (the halves are the two chains).
+    assert rhat(np.random.default_rng(0).normal(size=(100, 1))).shape == (1,)
+
+
+def test_rhat_on_sampler_chain():
+    """A converged ensemble run reads near 1."""
+    import emcee_tpu
+    import jax.numpy as jnp
+    from emcee_tpu.autocorr import rhat
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    s = emcee_tpu.EnsembleSampler(32, 2, lp, seed=0)
+    p0 = np.random.default_rng(3).normal(size=(32, 2))
+    s.run_mcmc(p0, 2000)
+    r = rhat(np.asarray(s.get_chain(discard=200)))
+    assert np.all(r < 1.05), r
