@@ -1,9 +1,16 @@
 """Chain storage backends (reference ``/root/reference/src/emcee/backends/``)."""
 
 from .backend import Backend
+from .device import DeviceBackend
 from .hdf import HDFBackend, TempHDFBackend
 
-__all__ = ["Backend", "HDFBackend", "TempHDFBackend", "get_test_backends"]
+__all__ = [
+    "Backend",
+    "DeviceBackend",
+    "HDFBackend",
+    "TempHDFBackend",
+    "get_test_backends",
+]
 
 
 def get_test_backends():

@@ -112,9 +112,16 @@ class Backend:
                     example,
                 )
 
-    def _ensure_capacity(self, n):
+    def _ensure_capacity(self, n, blobs=None):
         if self.chain is None or self.iteration + n > self._size:
-            self.grow(max(n, 1), None)
+            example = None
+            if blobs is not None:
+                # grow() expects a per-walker example (nwalkers, ...);
+                # blobs arrive chunk-shaped (k, nwalkers, ...).
+                example = jax.tree_util.tree_map(
+                    lambda b: np.asarray(b)[0], blobs
+                )
+            self.grow(max(n, 1), example)
 
     def save_chunk(self, coords, log_prob, blobs, accepted, random_state):
         """Append a chunk of steps fetched from device.
@@ -128,7 +135,7 @@ class Backend:
         """
         coords = np.asarray(coords)
         k = coords.shape[0]
-        self._ensure_capacity(k)
+        self._ensure_capacity(k, blobs)
         i = self.iteration
         self.chain[i : i + k] = coords
         self.log_prob[i : i + k] = np.asarray(log_prob)

@@ -1,0 +1,230 @@
+"""Device-resident (HBM) chain backend.
+
+The reference stores every chain on the host (``Backend`` keeps numpy
+arrays, ``HDFBackend`` a file — ``/root/reference/src/emcee/backends/``).
+On TPU the device→host link is often the slowest wire in the system (this
+dev environment's tunnel sustains ~10–25 MB/s), so streaming the chain off
+the chip can dominate a production run whose compute costs microseconds
+per step.  :class:`DeviceBackend` keeps the chain in HBM instead:
+
+* ``save_chunk`` appends the jitted scan chunk's *device* arrays without a
+  transfer — the sampler detects ``wants_device_arrays`` and skips its
+  ``jax.device_get``;
+* reads (``get_chain``/``get_log_prob``/``get_blobs``/``accepted``)
+  concatenate the chunks lazily on device and return JAX arrays; the host
+  pays for exactly the slices it asks for (``np.asarray`` when a caller
+  needs numpy);
+* ``get_autocorr_time`` runs the batched FFT estimator on device — the
+  chain never has to leave the chip for convergence monitoring.
+
+Capacity is HBM-bounded: ``kept_steps × nwalkers × (ndim + 2)`` floats
+(e.g. 1e5 walkers × 5 dims × 1000 kept rows ≈ 2.8 GB).  For longer runs,
+thin, or drain to a host backend periodically (``to_host``).
+
+Contract parity: implements the same surface as :class:`Backend`
+(reference ``backends/backend.py:11-237``) — ``reset``/``grow``/
+``save_step``/``save_chunk``/``get_value``/``get_last_sample``/
+``shape``/``iteration``/``accepted``/``random_state``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..state import State
+from .backend import Backend, _key_data, _wrap_key
+
+__all__ = ["DeviceBackend"]
+
+
+class DeviceBackend(Backend):
+    """Store the chain in device memory (HBM) instead of host memory."""
+
+    #: sampler hint: pass save_chunk the raw device arrays (no device_get)
+    wants_device_arrays = True
+
+    def reset(self, nwalkers, ndim):
+        super().reset(nwalkers, ndim)
+        # Per-chunk device arrays, concatenated lazily on first read.
+        self._chunks = []  # [(coords, log_prob, blobs, accepted), ...]
+        self._cache = {}
+        self._accepted_base = np.zeros(self.nwalkers, dtype=np.int64)
+
+    # -- chain / log_prob / blobs are lazy views over the chunk list ------
+
+    def _cat(self, idx):
+        key = (idx, len(self._chunks))
+        if key not in self._cache:
+            self._cache = {k: v for k, v in self._cache.items()
+                           if k[1] == len(self._chunks)}
+            parts = [c[idx] for c in self._chunks]
+            if not parts:
+                self._cache[key] = None
+            elif len(parts) == 1:
+                self._cache[key] = parts[0]
+            else:
+                self._cache[key] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *parts
+                )
+        return self._cache[key]
+
+    @property
+    def chain(self):
+        return self._cat(0) if self._chunks else None
+
+    @chain.setter
+    def chain(self, value):
+        if value is not None:
+            raise AttributeError("DeviceBackend.chain is derived; not settable")
+
+    @property
+    def log_prob(self):
+        return self._cat(1) if self._chunks else None
+
+    @log_prob.setter
+    def log_prob(self, value):
+        if value is not None:
+            raise AttributeError(
+                "DeviceBackend.log_prob is derived; not settable"
+            )
+
+    @property
+    def blobs(self):
+        if not self._chunks or self._chunks[0][2] is None:
+            return None
+        return self._cat(2)
+
+    @blobs.setter
+    def blobs(self, value):
+        if value is not None:
+            raise AttributeError("DeviceBackend.blobs is derived; not settable")
+
+    @property
+    def accepted(self):
+        """Cumulative per-walker acceptance counts (reference semantics).
+
+        Summed on device, lazily — the per-step accept masks stay in HBM
+        until someone asks.
+        """
+        key = ("accepted", len(self._chunks))
+        if key not in self._cache:
+            total = self._accepted_base
+            if self._chunks:
+                acc = self._cat(3)
+                total = total + np.asarray(
+                    jnp.sum(acc.astype(jnp.int32), axis=0), dtype=np.int64
+                )
+            self._cache[key] = total
+        return self._cache[key]
+
+    @accepted.setter
+    def accepted(self, value):
+        # reset() (and to_host round-trips) seed the cumulative base.
+        self._accepted_base = np.asarray(value, dtype=np.int64)
+
+    # -- write path -------------------------------------------------------
+
+    def grow(self, ngrow, blobs):
+        """No-op: chunks append; capacity is bounded by HBM, not ngrow."""
+        self._size = self.iteration + int(ngrow)
+
+    def save_chunk(self, coords, log_prob, blobs, accepted, random_state):
+        """Append one scan chunk of steps, keeping the arrays on device.
+
+        Accepts device or host arrays; host arrays (e.g. the multi-host
+        gather path) are kept as-is and promoted on first device read.
+        """
+        self._chunks.append((coords, log_prob, blobs, accepted))
+        self._cache = {}
+        self.iteration += int(coords.shape[0])
+        self.random_state = _key_data(random_state)
+
+    # -- reads ------------------------------------------------------------
+
+    def get_value(self, name, flat=False, thin=1, discard=0):
+        if self.iteration <= 0:
+            raise AttributeError(
+                "you must run the sampler with 'store == True' before "
+                "accessing the results"
+            )
+        if name == "blobs" and not self.has_blobs:
+            return None
+        if name == "chain":
+            v = self.chain
+        elif name == "log_prob":
+            v = self.log_prob
+        elif name == "blobs":
+            v = self.blobs
+        else:
+            raise ValueError(f"unrecognized value name: {name}")
+
+        def slice_leaf(leaf):
+            out = leaf[discard + thin - 1 : self.iteration : thin]
+            if flat:
+                s = list(out.shape[1:])
+                s[0] = int(np.prod(out.shape[:2]))
+                return out.reshape(s)
+            return out
+
+        return jax.tree_util.tree_map(slice_leaf, v)
+
+    def get_last_sample(self) -> State:
+        if (not self.initialized) or self.iteration <= 0:
+            raise AttributeError(
+                "you must run the sampler with 'store == True' before "
+                "accessing the results"
+            )
+        coords, log_prob, blobs, _ = self._chunks[-1]
+        last_blobs = None
+        if blobs is not None:
+            last_blobs = jax.tree_util.tree_map(lambda b: b[-1], blobs)
+        return State(
+            coords=coords[-1],
+            log_prob=log_prob[-1],
+            blobs=last_blobs,
+            random_state=_wrap_key(self.random_state),
+        )
+
+    # -- interop ----------------------------------------------------------
+
+    def to_host(self, backend=None):
+        """Drain the device-resident chain into a host backend.
+
+        Args:
+            backend: a host backend (default: a fresh :class:`Backend`).
+                Must be empty or hold the prefix of this chain.
+
+        Returns:
+            The populated host backend.
+        """
+        if backend is None:
+            backend = Backend()
+        if not backend.initialized:
+            backend.reset(self.nwalkers, self.ndim)
+        start = backend.iteration
+        if start > self.iteration:
+            raise ValueError(
+                "target backend is ahead of this DeviceBackend "
+                f"({start} > {self.iteration})"
+            )
+        if start < self.iteration:
+            sl = slice(start, self.iteration)
+            blobs = None
+            if self.has_blobs:
+                blobs = jax.tree_util.tree_map(
+                    lambda b: np.asarray(b[sl]), self.blobs
+                )
+            accepted = np.zeros((1, self.nwalkers), dtype=np.int64)
+            accepted[0] = np.asarray(self.accepted) - np.asarray(
+                backend.accepted
+            )
+            backend.save_chunk(
+                np.asarray(self.chain[sl]),
+                np.asarray(self.log_prob[sl]),
+                blobs,
+                accepted,
+                _wrap_key(self.random_state),
+            )
+        return backend

@@ -727,14 +727,7 @@ class EnsembleSampler:
             while iterations is None or i < iterations:
                 state, carries, out = run1(state, carries)
                 if store:
-                    coords, log_prob, blobs, accepted = jax.device_get(out)
-                    self.backend.save_chunk(
-                        coords,
-                        log_prob,
-                        blobs,
-                        accepted,
-                        state.random_state,
-                    )
+                    self._save_chunk(out, state.random_state)
                 pbar.update(thin_by)
                 i += 1
                 self._move_carries = carries
@@ -830,5 +823,9 @@ class EnsembleSampler:
             out = multihost_utils.process_allgather(out, tiled=True)
             if jax.process_index() != 0:
                 return
-        coords, log_prob, blobs, accepted = jax.device_get(out)
+        if getattr(self.backend, "wants_device_arrays", False):
+            # DeviceBackend: the chain stays in HBM; no host transfer.
+            coords, log_prob, blobs, accepted = out
+        else:
+            coords, log_prob, blobs, accepted = jax.device_get(out)
         self.backend.save_chunk(coords, log_prob, blobs, accepted, key)
