@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--unroll", type=int, default=8)
     ap.add_argument("--prng", default=None)
+    ap.add_argument(
+        "--block",
+        type=int,
+        default=1,
+        help="mixture_block: draw the move once per this many kept steps",
+    )
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -74,6 +80,7 @@ def main():
         prng=args.prng,
         moves=cfg,
         scan_unroll=args.unroll,
+        mixture_block=args.block,
     )
     coords = jnp.asarray(
         rng.normal(size=(args.walkers, args.ndim)) @ chol.T,
@@ -112,6 +119,7 @@ def main():
                 "value": round(wsps, 1),
                 "unit": "walker-steps/s",
                 "ms_per_step": round(1e3 * dt / (reps * args.steps), 4),
+                "mixture_block": args.block,
             }
         )
     )

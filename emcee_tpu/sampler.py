@@ -119,6 +119,7 @@ class EnsembleSampler:
         host_callback: bool = False,
         io_chunk_bytes: int = 1 << 27,
         scan_unroll: int = 4,
+        mixture_block: int = 1,
     ):
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
@@ -197,6 +198,14 @@ class EnsembleSampler:
         # unrolling amortizes it (measured ~55us/iteration floor on v5e
         # via the remote runtime — dominant for small ensembles).
         self._scan_unroll = int(scan_unroll)
+        # mixture_block > 1: draw the move once per block of that many
+        # kept steps instead of once per proposal — amortizes the
+        # lax.switch dispatch of move mixtures (docs/performance.md).
+        # Chunks whose length isn't a block multiple (e.g. the generator's
+        # single-step chunks) fall back to per-proposal selection.
+        self._mixture_block = int(mixture_block)
+        if self._mixture_block < 1:
+            raise ValueError("mixture_block must be >= 1")
 
         # Canonical batched log-prob (settings kept for re-wrapping after
         # unpickling — the wrapped closure itself is not picklable).
@@ -462,34 +471,48 @@ class EnsembleSampler:
             m.init_carry(self.nwalkers, self.ndim) for m in self._moves
         )
 
-    def _make_step(self, tune):
-        """One proposal: select a move, propose, (optionally) tune."""
+    def _make_step(self, tune, move_index=None):
+        """One proposal: select a move, propose, (optionally) tune.
+
+        With ``move_index`` the move is fixed (no per-step categorical draw
+        or ``lax.switch``) — the building block of the ``mixture_block``
+        execution mode, where the move is drawn once per block of kept
+        steps instead of once per proposal.
+        """
         moves = self._moves
         model = self._model
         n_moves = len(moves)
         weights = jnp.asarray(self._weights)
 
+        def apply_move(i, k, st, cs):
+            ns, acc, c = moves[i].propose(k, st, model, cs[i])
+            if tune:
+                c = moves[i].tune(c, ns, acc, model)
+            return ns, acc, cs[:i] + (c,) + cs[i + 1 :]
+
+        if n_moves == 1 or move_index is not None:
+            i = 0 if move_index is None else int(move_index)
+
+            def fixed_step(state, carries):
+                # Same 3-way split as the mixture path (k_move unused)
+                # so streams stay identical across execution modes.
+                key, _k_move, k_prop = jax.random.split(
+                    state.random_state, 3
+                )
+                state = state._replace(random_state=key)
+                return apply_move(i, k_prop, state, carries)
+
+            return fixed_step
+
         def step(state, carries):
             key, k_move, k_prop = jax.random.split(state.random_state, 3)
             state = state._replace(random_state=key)
-            if n_moves == 1:
-                new_state, accepted, c = moves[0].propose(
-                    k_prop, state, model, carries[0]
-                )
-                if tune:
-                    c = moves[0].tune(c, new_state, accepted, model)
-                return new_state, accepted, (c,)
-
             idx = jax.random.choice(k_move, n_moves, p=weights)
 
             def make_branch(i):
                 def branch(operand):
                     k, st, cs = operand
-                    ns, acc, c = moves[i].propose(k, st, model, cs[i])
-                    if tune:
-                        c = moves[i].tune(c, ns, acc, model)
-                    cs = cs[:i] + (c,) + cs[i + 1 :]
-                    return ns, acc, cs
+                    return apply_move(i, k, st, cs)
 
                 return branch
 
@@ -522,39 +545,99 @@ class EnsembleSampler:
         if fn is not None:
             return fn
 
-        step = self._make_step(tune)
+        def make_kept_step(step):
+            def inner(carry, _):
+                state, carries = carry
+                state, accepted, carries = step(state, carries)
+                return (state, carries), None
 
-        def inner(carry, _):
-            state, carries = carry
-            state, accepted, carries = step(state, carries)
-            return (state, carries), None
+            def kept_step(carry, _):
+                if thin_by > 1:
+                    carry, _ = jax.lax.scan(
+                        inner,
+                        carry,
+                        None,
+                        length=thin_by - 1,
+                        unroll=min(self._scan_unroll, thin_by - 1),
+                    )
+                state, carries = carry
+                state, accepted, carries = step(state, carries)
+                if store:
+                    out = (
+                        state.coords,
+                        state.log_prob,
+                        state.blobs,
+                        accepted,
+                    )
+                else:
+                    out = None
+                return (state, carries), out
 
-        def kept_step(carry, _):
-            if thin_by > 1:
-                carry, _ = jax.lax.scan(
-                    inner,
-                    carry,
-                    None,
-                    length=thin_by - 1,
-                    unroll=min(self._scan_unroll, thin_by - 1),
+            return kept_step
+
+        blk = self._mixture_block
+        n_moves = len(self._moves)
+        if n_moves > 1 and blk > 1 and nkeep % blk == 0:
+            # Blocked mixture: draw the move once per block of `blk` kept
+            # steps; each block runs a pure-move scan (no per-proposal
+            # lax.switch buffer traffic).  A state-independent schedule of
+            # π-invariant kernels keeps the chain valid; statistical
+            # coverage: tests/integration/test_mixture.py.
+            kept_steps = [
+                make_kept_step(self._make_step(tune, move_index=i))
+                for i in range(n_moves)
+            ]
+            weights = jnp.asarray(self._weights)
+
+            def block_step(carry, _):
+                state, carries = carry
+                key, k_move = jax.random.split(state.random_state)
+                state = state._replace(random_state=key)
+                idx = jax.random.choice(k_move, n_moves, p=weights)
+
+                def make_branch(i):
+                    def branch(operand):
+                        st, cs = operand
+                        (st, cs), outs = jax.lax.scan(
+                            kept_steps[i],
+                            (st, cs),
+                            None,
+                            length=blk,
+                            unroll=min(self._scan_unroll, blk),
+                        )
+                        return st, cs, outs
+
+                    return branch
+
+                state, carries, outs = jax.lax.switch(
+                    idx,
+                    [make_branch(i) for i in range(n_moves)],
+                    (state, carries),
                 )
-            state, carries = carry
-            state, accepted, carries = step(state, carries)
-            if store:
-                out = (state.coords, state.log_prob, state.blobs, accepted)
-            else:
-                out = None
-            return (state, carries), out
+                return (state, carries), outs
 
-        def chunk(state, carries):
-            (state, carries), outs = jax.lax.scan(
-                kept_step,
-                (state, carries),
-                None,
-                length=nkeep,
-                unroll=min(self._scan_unroll, nkeep),
-            )
-            return state, carries, outs
+            def chunk(state, carries):
+                (state, carries), outs = jax.lax.scan(
+                    block_step, (state, carries), None, length=nkeep // blk
+                )
+                if store:
+                    outs = jax.tree_util.tree_map(
+                        lambda o: o.reshape((nkeep,) + o.shape[2:]), outs
+                    )
+                return state, carries, outs
+
+        else:
+            kept_step = make_kept_step(self._make_step(tune))
+
+            def chunk(state, carries):
+                (state, carries), outs = jax.lax.scan(
+                    kept_step,
+                    (state, carries),
+                    None,
+                    length=nkeep,
+                    unroll=min(self._scan_unroll, nkeep),
+                )
+                return state, carries, outs
 
         if self.mesh is not None:
             ax = self.walker_axis

@@ -69,6 +69,56 @@ def test_blended_mixture():
     )
 
 
+def test_mixture_block_schedule():
+    """mixture_block=4: the move is drawn once per block of 4 kept steps
+    (amortizing the lax.switch dispatch).  A state-independent schedule of
+    π-invariant kernels must pass the same oracle."""
+    _test_normal(
+        [
+            (moves.DEMove(pair_mode="roll", randomize_split=False), 0.8),
+            (
+                moves.DESnookerMove(
+                    pair_mode="roll", nsplits=2, randomize_split=False
+                ),
+                0.2,
+            ),
+        ],
+        ndim=3,
+        nsteps=3000,
+        mixture_block=4,
+    )
+
+
+def test_mixture_block_validation_and_fallback():
+    import jax
+    import numpy as np
+    import pytest
+
+    from emcee_tpu import EnsembleSampler, State
+
+    with pytest.raises(ValueError):
+        EnsembleSampler(
+            8, 2, lambda x: -0.5 * sum(x**2), mixture_block=0
+        )
+    # nkeep not a block multiple -> per-proposal fallback still runs.
+    import jax.numpy as jnp
+
+    s = EnsembleSampler(
+        32,
+        2,
+        lambda x: -0.5 * jnp.sum(x**2, axis=-1),
+        vectorize=True,
+        moves=[(moves.DEMove(), 0.5), (moves.StretchMove(), 0.5)],
+        mixture_block=7,
+        seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(32, 2))
+    s.run_mcmc(
+        State(jnp.asarray(coords), random_state=jax.random.key(1)), 10
+    )
+    assert s.get_chain().shape == (10, 32, 2)
+
+
 def test_blended_validation():
     import pytest
 

@@ -40,13 +40,21 @@ def _test_normal(
     blobs=False,
     mesh=None,
     prng=None,
+    **sampler_kwargs,
 ):
     key = jax.random.key(seed)
     coords = jax.random.normal(key, (nwalkers, ndim))
 
     lp = normal_log_prob_blobs if blobs else normal_log_prob
     sampler = emcee_tpu.EnsembleSampler(
-        nwalkers, ndim, lp, moves=proposal, seed=seed, mesh=mesh, prng=prng
+        nwalkers,
+        ndim,
+        lp,
+        moves=proposal,
+        seed=seed,
+        mesh=mesh,
+        prng=prng,
+        **sampler_kwargs,
     )
     sampler.run_mcmc(coords, nsteps)
 
