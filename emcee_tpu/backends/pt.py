@@ -23,7 +23,7 @@ try:
 except ImportError:
     h5py = None
 
-__all__ = ["PTBackend", "PTHDFBackend"]
+__all__ = ["PTBackend", "PTDeviceBackend", "PTHDFBackend"]
 
 
 class PTBackend:
@@ -128,6 +128,168 @@ class PTBackend:
             log_prior=self.log_prior[it - 1],
             random_state=_wrap_key(self.random_state),
         )
+
+
+class PTDeviceBackend(PTBackend):
+    """Device-resident (HBM) store for parallel-tempered chains.
+
+    Tempered analogue of :class:`..backends.DeviceBackend`: the sampler
+    hands over the chunk's device arrays without a host transfer
+    (``wants_device_arrays``); only the tiny swap counters cross to the
+    host.  Reads concatenate lazily on device and return JAX arrays;
+    ``to_host()`` drains into any host PT backend.
+    """
+
+    wants_device_arrays = True
+
+    def reset(self, ntemps, nwalkers, ndim):
+        super().reset(ntemps, nwalkers, ndim)
+        self._chunks = []  # [(coords, log_like, log_prior, accepted), ...]
+        self._cache = {}
+        self._accepted_base = np.zeros(
+            (self.ntemps, self.nwalkers), np.int64
+        )
+
+    def _cat(self, idx):
+        key = (idx, len(self._chunks))
+        if key not in self._cache:
+            self._cache = {
+                k: v
+                for k, v in self._cache.items()
+                if k[1] == len(self._chunks)
+            }
+            parts = [c[idx] for c in self._chunks]
+            if not parts:
+                self._cache[key] = None
+            elif len(parts) == 1:
+                self._cache[key] = parts[0]
+            else:
+                import jax.numpy as jnp
+
+                self._cache[key] = jnp.concatenate(parts, axis=0)
+        return self._cache[key]
+
+    @property
+    def chain(self):
+        return self._cat(0) if self._chunks else None
+
+    @chain.setter
+    def chain(self, value):
+        if value is not None:
+            raise AttributeError(
+                "PTDeviceBackend.chain is derived; not settable"
+            )
+
+    @property
+    def log_like(self):
+        return self._cat(1) if self._chunks else None
+
+    @log_like.setter
+    def log_like(self, value):
+        if value is not None:
+            raise AttributeError(
+                "PTDeviceBackend.log_like is derived; not settable"
+            )
+
+    @property
+    def log_prior(self):
+        return self._cat(2) if self._chunks else None
+
+    @log_prior.setter
+    def log_prior(self, value):
+        if value is not None:
+            raise AttributeError(
+                "PTDeviceBackend.log_prior is derived; not settable"
+            )
+
+    @property
+    def accepted(self):
+        key = ("accepted", len(self._chunks))
+        if key not in self._cache:
+            import jax.numpy as jnp
+
+            total = self._accepted_base
+            if self._chunks:
+                acc = self._cat(3)
+                total = total + np.asarray(
+                    jnp.sum(acc.astype(jnp.int32), axis=0), dtype=np.int64
+                )
+            self._cache[key] = total
+        return self._cache[key]
+
+    @accepted.setter
+    def accepted(self, value):
+        self._accepted_base = np.asarray(value, dtype=np.int64)
+
+    def grow(self, ngrow):
+        self._size = self.iteration + int(ngrow)
+
+    def save_chunk(
+        self,
+        coords,
+        log_like,
+        log_prior,
+        accepted,
+        swaps_accepted,
+        swaps_proposed,
+        random_state,
+        betas,
+    ):
+        self._chunks.append((coords, log_like, log_prior, accepted))
+        self._cache = {}
+        self.iteration += int(coords.shape[0])
+        self.swaps_accepted = np.asarray(swaps_accepted)
+        self.swaps_proposed = np.asarray(swaps_proposed)
+        self.random_state = _key_data(random_state)
+        self.betas = np.asarray(betas)
+
+    def get_last_sample(self):
+        from ..parallel.tempering import PTState
+
+        if self.iteration <= 0:
+            raise AttributeError("empty backend")
+        coords, ll, lpr, _ = self._chunks[-1]
+        return PTState(
+            coords=coords[-1],
+            log_like=ll[-1],
+            log_prior=lpr[-1],
+            random_state=_wrap_key(self.random_state),
+        )
+
+    def to_host(self, backend=None):
+        """Drain the device-resident tempered chain into a host backend.
+
+        Incremental: only rows past the target's iteration move.
+        """
+        if backend is None:
+            backend = PTBackend()
+        if not backend.initialized:
+            backend.reset(self.ntemps, self.nwalkers, self.ndim)
+        start = backend.iteration
+        if start > self.iteration:
+            raise ValueError(
+                "target backend is ahead of this PTDeviceBackend "
+                f"({start} > {self.iteration})"
+            )
+        if start < self.iteration:
+            sl = slice(start, self.iteration)
+            accepted = np.zeros(
+                (1, self.ntemps, self.nwalkers), dtype=np.int64
+            )
+            accepted[0] = np.asarray(self.accepted) - np.asarray(
+                backend.accepted
+            )
+            backend.save_chunk(
+                np.asarray(self.chain[sl]),
+                np.asarray(self.log_like[sl]),
+                np.asarray(self.log_prior[sl]),
+                accepted,
+                self.swaps_accepted,
+                self.swaps_proposed,
+                _wrap_key(self.random_state),
+                self.betas,
+            )
+        return backend
 
 
 class PTHDFBackend(PTBackend):

@@ -834,10 +834,19 @@ class PTSampler:
                 )
             if not store:
                 continue
-            fetched = self._fetch_global((outs, swap_acc))
-            if fetched is None:  # non-zero process: backend untouched
-                continue
-            (coords, ll, lpr, accs), swap_acc_host = fetched
+            if (
+                getattr(self.backend, "wants_device_arrays", False)
+                and jax.process_count() == 1
+            ):
+                # PTDeviceBackend: the chain block stays in HBM; only the
+                # tiny (T, nw) swap counters cross to the host.
+                coords, ll, lpr, accs = outs
+                swap_acc_host = jax.device_get(swap_acc)
+            else:
+                fetched = self._fetch_global((outs, swap_acc))
+                if fetched is None:  # non-zero process: backend untouched
+                    continue
+                (coords, ll, lpr, accs), swap_acc_host = fetched
             swaps_delta = np.asarray(swap_acc_host).sum(axis=1)[
                 : max(self.ntemps - 1, 1)
             ]

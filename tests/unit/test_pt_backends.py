@@ -81,3 +81,71 @@ def test_swap_bookkeeping_accumulates():
     assert pt.swaps_proposed.sum() > 0
     frac = pt.tswap_acceptance_fraction
     assert np.all((frac >= 0) & (frac <= 1))
+
+
+def test_device_matches_memory():
+    """PTDeviceBackend: identical seeded run must match the host store
+    across the whole read surface."""
+    from emcee_tpu.backends.pt import PTDeviceBackend
+
+    m = _run(PTBackend())
+    d = _run(PTDeviceBackend())
+    assert isinstance(d.get_chain(), jax.Array)
+    np.testing.assert_array_equal(
+        np.asarray(d.get_chain(), dtype=np.float64), m.get_chain()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d.get_log_like(), dtype=np.float64), m.get_log_like()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d.get_log_prior(), dtype=np.float64), m.get_log_prior()
+    )
+    np.testing.assert_array_equal(d.accepted, m.accepted)
+    np.testing.assert_array_equal(d.swaps_accepted, m.swaps_accepted)
+    np.testing.assert_array_equal(d.swaps_proposed, m.swaps_proposed)
+    np.testing.assert_array_equal(d.betas, m.betas)
+    # cold-chain + temp slicing path
+    np.testing.assert_array_equal(
+        np.asarray(d.get_chain(temp=0, flat=True), dtype=np.float64),
+        m.get_chain(temp=0, flat=True),
+    )
+
+
+def test_device_resume_and_lnz():
+    from emcee_tpu.backends.pt import PTDeviceBackend
+
+    d = _run(PTDeviceBackend(), nsteps=20)
+    full = _run(PTBackend(), nsteps=40)
+    d.run_mcmc(None, 20)
+    np.testing.assert_array_equal(
+        np.asarray(d.get_chain(), dtype=np.float64), full.get_chain()
+    )
+    lnz_d = d.log_evidence_estimate(discard=10)
+    lnz_m = full.log_evidence_estimate(discard=10)
+    np.testing.assert_allclose(float(lnz_d), float(lnz_m), rtol=1e-6)
+
+
+def test_device_to_host_roundtrip(h5file):
+    from emcee_tpu.backends.pt import PTDeviceBackend
+
+    d = _run(PTDeviceBackend(), nsteps=15)
+    be = d.backend
+    host = be.to_host()
+    m = _run(PTBackend(), nsteps=15)
+    np.testing.assert_array_equal(host.get_chain(), m.get_chain())
+    np.testing.assert_array_equal(host.accepted, m.accepted)
+    np.testing.assert_array_equal(
+        host.swaps_proposed, m.backend.swaps_proposed
+    )
+    # incremental drain into an HDF PT store
+    hdf = PTHDFBackend(h5file)
+    hdf.reset(4, 16, 2)
+    be.to_host(hdf)
+    assert hdf.iteration == 15
+    d.run_mcmc(None, 5)
+    be.to_host(hdf)
+    assert hdf.iteration == 20
+    np.testing.assert_array_equal(
+        np.asarray(hdf.get_chain()),
+        np.asarray(be.get_chain(), dtype=np.float64),
+    )
