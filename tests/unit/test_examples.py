@@ -61,3 +61,10 @@ def test_example_hierarchical_sharded():
     mod = _load("05_hierarchical_sharded.py")
     mod.nsteps = 3
     mod.main()
+
+
+def test_example_device_resident():
+    mod = _load("06_device_resident.py")
+    mod.check_every = 100
+    mod.max_rounds = 3
+    mod.main()
