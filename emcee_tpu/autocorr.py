@@ -7,6 +7,7 @@ FFTs); this alias preserves the reference import path
 
 from .ops.autocorr import (  # noqa: F401
     AutocorrError,
+    ess,
     function_1d,
     integrated_time,
     next_pow_two,
@@ -16,6 +17,7 @@ from .ops.autocorr import (  # noqa: F401
 __all__ = [
     "function_1d",
     "integrated_time",
+    "ess",
     "rhat",
     "AutocorrError",
     "next_pow_two",

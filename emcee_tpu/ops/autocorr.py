@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["function_1d", "integrated_time", "rhat", "AutocorrError"]
+__all__ = ["function_1d", "integrated_time", "ess", "rhat", "AutocorrError"]
 
 logger = logging.getLogger(__name__)
 
@@ -141,6 +141,24 @@ def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True):
         logger.warning(msg)
 
     return tau_est
+
+
+def ess(x, c=5, tol=50, quiet=False, has_walkers=True):
+    """Effective sample size per parameter.
+
+    ``n_step * n_walker / tau`` with tau from :func:`integrated_time` —
+    the number of independent draws the chain is worth.  Same input
+    layouts, tolerances, and error behavior as ``integrated_time`` (the
+    reference exposes only tau, ``autocorr.py:49-123``; this is the
+    derived quantity the BASELINE "effective samples/sec" metric uses).
+    """
+    x = jnp.atleast_1d(jnp.asarray(x))
+    tau = integrated_time(
+        x, c=c, tol=tol, quiet=quiet, has_walkers=has_walkers
+    )
+    n_t = x.shape[0]
+    n_w = x.shape[1] if (x.ndim >= 2 and has_walkers) else 1
+    return n_t * n_w / tau
 
 
 def rhat(x, split=True):

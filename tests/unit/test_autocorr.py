@@ -128,3 +128,19 @@ def test_rhat_on_sampler_chain():
     s.run_mcmc(p0, 2000)
     r = rhat(np.asarray(s.get_chain(discard=200)))
     assert np.all(r < 1.05), r
+
+
+def test_ess():
+    from emcee_tpu.autocorr import ess
+
+    # AR(1) with a=0.9: tau = 19, so ESS ~ N / 19 for one series.
+    x = get_chain(ndim=1, N=250000)[:, 0]
+    n_eff = ess(x)
+    assert np.all(np.abs(n_eff - 250000 / 19.0) / (250000 / 19.0) < 0.25)
+    # walker axis multiplies the sample count
+    xw = get_chain(ndim=2, N=100000)  # 2 "walkers" of the same series
+    n_eff_w = ess(xw, has_walkers=True)
+    assert n_eff_w.shape == (1,)
+    assert np.all(n_eff_w > 100000 / 19.0)  # more than one walker's worth
+    with pytest.raises(AutocorrError):
+        ess(get_chain(N=100)[:, None, :])
