@@ -89,3 +89,22 @@ pt.run_mcmc(c0, 10)
 
 if pid == 0:
     print("WORKER0 DONE", s.iteration, pt.iteration, flush=True)
+
+# Device-resident backend under multi-host: chunk outputs are
+# process_allgather-ed (host numpy) and only process 0's backend stores
+# them; the result must match the HDF chain of the identical run above
+# bit-for-bit.
+dev_be = backends.DeviceBackend()
+s2 = EnsembleSampler(
+    nwalkers, ndim, log_prob, backend=dev_be, mesh=mesh, seed=7
+)
+s2.run_mcmc(State(jnp.asarray(p0), random_state=jax.random.key(1)), nsteps)
+if pid == 0:
+    ref = np.asarray(
+        backends.HDFBackend(
+            os.path.join(outdir, "multihost.h5"), read_only=True
+        ).get_chain()
+    )
+    got = np.asarray(s2.get_chain(), dtype=ref.dtype)
+    assert np.array_equal(got, ref), "device-backend multihost mismatch"
+    print("DEVBACKEND OK", flush=True)
