@@ -15,7 +15,7 @@ __all__ = [
 
 def get_test_backends():
     """Backends to parametrize tests over (reference ``backends/__init__.py``)."""
-    backends = [Backend]
+    backends = [Backend, DeviceBackend]
     try:
         import h5py  # noqa: F401
 

@@ -59,11 +59,11 @@ def test_shapes(backend, moves_arg):
         flat = sampler.get_chain(flat=True)
         assert flat.shape == (nsteps * nwalkers, ndim)
 
-    if backend is backends.Backend:
-        check(backend())
-    else:
+    if backend is backends.TempHDFBackend:
         with backend() as be:
             check(be)
+    else:
+        check(backend())
 
 
 def test_errors_uninitialized_access():
