@@ -130,3 +130,21 @@ def test_temp_sharded_resume():
     pt.run_mcmc(None, 20)
     assert pt.get_chain().shape == (40, T, nw, nd)
     assert np.all(np.isfinite(pt.get_chain()))
+
+
+def test_temp_sharded_device_backend_matches_host():
+    """PTDeviceBackend under a temp x walker mesh: the device-resident
+    chain must match the host store bit-for-bit at the same seed."""
+    from emcee_tpu.backends.pt import PTBackend, PTDeviceBackend
+
+    T, nw, nd = 8, 32, 1
+    coords = np.asarray(jax.random.normal(jax.random.key(0), (T, nw, nd)))
+    chains = []
+    for be in (PTBackend(), PTDeviceBackend()):
+        pt = PTSampler(
+            T, nw, nd, log_like, log_prior, seed=0, mesh=make_mesh(),
+            temp_axis="temp", backend=be,
+        )
+        pt.run_mcmc(coords, 15, skip_initial_state_check=True)
+        chains.append(np.asarray(pt.get_chain(), dtype=np.float64))
+    np.testing.assert_array_equal(chains[0], chains[1])
