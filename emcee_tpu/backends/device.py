@@ -39,7 +39,59 @@ from .backend import Backend, _key_data, _wrap_key
 __all__ = ["DeviceBackend"]
 
 
-class DeviceBackend(Backend):
+class _DeviceChunkStore:
+    """Shared machinery for HBM-resident chunk-list backends.
+
+    Appended scan chunks are *consolidated in place* on first read: the
+    chunk list is replaced by one concatenated copy, so HBM holds a
+    single copy of the chain (not originals + a cached concat) and a
+    read-after-append concatenates two operands, not the whole history.
+    Used by :class:`DeviceBackend` and :class:`~.pt.PTDeviceBackend`.
+    """
+
+    def _init_store(self):
+        self._chunks = []
+        self._acc_cache = None
+
+    def _append_chunk(self, chunk):
+        self._chunks.append(chunk)
+        self._acc_cache = None
+
+    def _consolidated(self):
+        if len(self._chunks) > 1:
+            self._chunks = [
+                jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *self._chunks
+                )
+            ]
+        return self._chunks[0] if self._chunks else None
+
+    def _field(self, idx):
+        c = self._consolidated()
+        return None if c is None else c[idx]
+
+    def _accepted_total(self):
+        """Cumulative acceptance counts: base + on-device lazy sum over
+        the stored per-step masks (field 3 of each chunk)."""
+        if self._acc_cache is None:
+            total = self._accepted_base
+            acc = self._field(3)
+            if acc is not None:
+                total = total + np.asarray(
+                    jnp.sum(
+                        jnp.asarray(acc).astype(jnp.int32), axis=0
+                    ),
+                    dtype=np.int64,
+                )
+            self._acc_cache = total
+        return self._acc_cache
+
+    def _set_accepted_base(self, value):
+        self._accepted_base = np.asarray(value, dtype=np.int64)
+        self._acc_cache = None
+
+
+class DeviceBackend(_DeviceChunkStore, Backend):
     """Store the chain in device memory (HBM) instead of host memory."""
 
     #: sampler hint: pass save_chunk the raw device arrays (no device_get)
@@ -47,32 +99,15 @@ class DeviceBackend(Backend):
 
     def reset(self, nwalkers, ndim):
         super().reset(nwalkers, ndim)
-        # Per-chunk device arrays, concatenated lazily on first read.
-        self._chunks = []  # [(coords, log_prob, blobs, accepted), ...]
-        self._cache = {}
+        # Per-chunk device arrays: (coords, log_prob, blobs, accepted).
+        self._init_store()
         self._accepted_base = np.zeros(self.nwalkers, dtype=np.int64)
 
-    # -- chain / log_prob / blobs are lazy views over the chunk list ------
-
-    def _cat(self, idx):
-        key = (idx, len(self._chunks))
-        if key not in self._cache:
-            self._cache = {k: v for k, v in self._cache.items()
-                           if k[1] == len(self._chunks)}
-            parts = [c[idx] for c in self._chunks]
-            if not parts:
-                self._cache[key] = None
-            elif len(parts) == 1:
-                self._cache[key] = parts[0]
-            else:
-                self._cache[key] = jax.tree_util.tree_map(
-                    lambda *xs: jnp.concatenate(xs, axis=0), *parts
-                )
-        return self._cache[key]
+    # -- chain / log_prob / blobs are lazy views over the chunk store -----
 
     @property
     def chain(self):
-        return self._cat(0) if self._chunks else None
+        return self._field(0)
 
     @chain.setter
     def chain(self, value):
@@ -81,7 +116,7 @@ class DeviceBackend(Backend):
 
     @property
     def log_prob(self):
-        return self._cat(1) if self._chunks else None
+        return self._field(1)
 
     @log_prob.setter
     def log_prob(self, value):
@@ -94,7 +129,7 @@ class DeviceBackend(Backend):
     def blobs(self):
         if not self._chunks or self._chunks[0][2] is None:
             return None
-        return self._cat(2)
+        return self._field(2)
 
     @blobs.setter
     def blobs(self, value):
@@ -108,21 +143,12 @@ class DeviceBackend(Backend):
         Summed on device, lazily — the per-step accept masks stay in HBM
         until someone asks.
         """
-        key = ("accepted", len(self._chunks))
-        if key not in self._cache:
-            total = self._accepted_base
-            if self._chunks:
-                acc = self._cat(3)
-                total = total + np.asarray(
-                    jnp.sum(acc.astype(jnp.int32), axis=0), dtype=np.int64
-                )
-            self._cache[key] = total
-        return self._cache[key]
+        return self._accepted_total()
 
     @accepted.setter
     def accepted(self, value):
         # reset() (and to_host round-trips) seed the cumulative base.
-        self._accepted_base = np.asarray(value, dtype=np.int64)
+        self._set_accepted_base(value)
 
     # -- write path -------------------------------------------------------
 
@@ -136,8 +162,7 @@ class DeviceBackend(Backend):
         Accepts device or host arrays; host arrays (e.g. the multi-host
         gather path) are kept as-is and promoted on first device read.
         """
-        self._chunks.append((coords, log_prob, blobs, accepted))
-        self._cache = {}
+        self._append_chunk((coords, log_prob, blobs, accepted))
         self.iteration += int(coords.shape[0])
         self.random_state = _key_data(random_state)
 

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..state import State  # noqa: F401  (re-export convenience)
 from .backend import _key_data, _wrap_key
+from .device import _DeviceChunkStore
 
 try:
     import h5py
@@ -130,48 +131,30 @@ class PTBackend:
         )
 
 
-class PTDeviceBackend(PTBackend):
+class PTDeviceBackend(_DeviceChunkStore, PTBackend):
     """Device-resident (HBM) store for parallel-tempered chains.
 
-    Tempered analogue of :class:`..backends.DeviceBackend`: the sampler
-    hands over the chunk's device arrays without a host transfer
-    (``wants_device_arrays``); only the tiny swap counters cross to the
-    host.  Reads concatenate lazily on device and return JAX arrays;
-    ``to_host()`` drains into any host PT backend.
+    Tempered analogue of :class:`..backends.DeviceBackend` (shares its
+    chunk-store machinery): the sampler hands over the chunk's device
+    arrays without a host transfer (``wants_device_arrays``); only the
+    tiny swap counters cross to the host.  Reads consolidate lazily on
+    device and return JAX arrays; ``to_host()`` drains into any host PT
+    backend.
     """
 
     wants_device_arrays = True
 
     def reset(self, ntemps, nwalkers, ndim):
         super().reset(ntemps, nwalkers, ndim)
-        self._chunks = []  # [(coords, log_like, log_prior, accepted), ...]
-        self._cache = {}
+        # Per-chunk device arrays: (coords, log_like, log_prior, accepted).
+        self._init_store()
         self._accepted_base = np.zeros(
             (self.ntemps, self.nwalkers), np.int64
         )
 
-    def _cat(self, idx):
-        key = (idx, len(self._chunks))
-        if key not in self._cache:
-            self._cache = {
-                k: v
-                for k, v in self._cache.items()
-                if k[1] == len(self._chunks)
-            }
-            parts = [c[idx] for c in self._chunks]
-            if not parts:
-                self._cache[key] = None
-            elif len(parts) == 1:
-                self._cache[key] = parts[0]
-            else:
-                import jax.numpy as jnp
-
-                self._cache[key] = jnp.concatenate(parts, axis=0)
-        return self._cache[key]
-
     @property
     def chain(self):
-        return self._cat(0) if self._chunks else None
+        return self._field(0)
 
     @chain.setter
     def chain(self, value):
@@ -182,7 +165,7 @@ class PTDeviceBackend(PTBackend):
 
     @property
     def log_like(self):
-        return self._cat(1) if self._chunks else None
+        return self._field(1)
 
     @log_like.setter
     def log_like(self, value):
@@ -193,7 +176,7 @@ class PTDeviceBackend(PTBackend):
 
     @property
     def log_prior(self):
-        return self._cat(2) if self._chunks else None
+        return self._field(2)
 
     @log_prior.setter
     def log_prior(self, value):
@@ -204,22 +187,11 @@ class PTDeviceBackend(PTBackend):
 
     @property
     def accepted(self):
-        key = ("accepted", len(self._chunks))
-        if key not in self._cache:
-            import jax.numpy as jnp
-
-            total = self._accepted_base
-            if self._chunks:
-                acc = self._cat(3)
-                total = total + np.asarray(
-                    jnp.sum(acc.astype(jnp.int32), axis=0), dtype=np.int64
-                )
-            self._cache[key] = total
-        return self._cache[key]
+        return self._accepted_total()
 
     @accepted.setter
     def accepted(self, value):
-        self._accepted_base = np.asarray(value, dtype=np.int64)
+        self._set_accepted_base(value)
 
     def grow(self, ngrow):
         self._size = self.iteration + int(ngrow)
@@ -235,8 +207,7 @@ class PTDeviceBackend(PTBackend):
         random_state,
         betas,
     ):
-        self._chunks.append((coords, log_like, log_prior, accepted))
-        self._cache = {}
+        self._append_chunk((coords, log_like, log_prior, accepted))
         self.iteration += int(coords.shape[0])
         self.swaps_accepted = np.asarray(swaps_accepted)
         self.swaps_proposed = np.asarray(swaps_proposed)

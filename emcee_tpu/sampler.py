@@ -752,14 +752,35 @@ class EnsembleSampler:
         # for no throughput benefit once dispatch overhead is amortized.
         return int(min(n, 1024))
 
-    @staticmethod
-    def _chunk_schedule(nsteps, max_chunk):
+    def _chunk_schedule(self, nsteps, max_chunk):
         """Split nsteps into chunk sizes, minimizing distinct scan lengths.
 
         A ragged final chunk costs a second XLA compile; prefer an equal
         divisor of ``nsteps`` when one exists reasonably close to the
-        memory-derived ``max_chunk``.
+        memory-derived ``max_chunk``.  With an active ``mixture_block``,
+        chunk sizes are kept multiples of the block so the blocked
+        execution path engages (a non-multiple chunk would silently fall
+        back to per-proposal move selection); at most one ragged tail
+        chunk takes the fallback.  When the io budget allows fewer kept
+        steps than one block, chunks still hold one whole block (the
+        storage buffer bound becomes ``mixture_block`` steps).
         """
+        blk = self._mixture_block if len(self._moves) > 1 else 1
+        if blk > 1:
+            nb, rem = divmod(nsteps, blk)
+            if nb == 0:
+                return [nsteps]
+            sizes = [
+                s * blk
+                for s in self._schedule_sizes(nb, max(1, max_chunk // blk))
+            ]
+            if rem:
+                sizes.append(rem)
+            return sizes
+        return self._schedule_sizes(nsteps, max_chunk)
+
+    @staticmethod
+    def _schedule_sizes(nsteps, max_chunk):
         if nsteps <= max_chunk:
             return [nsteps]
         for d in range(max_chunk, max(1, max_chunk // 2), -1):

@@ -147,3 +147,38 @@ def test_blended_switch_mode():
         ndim=3,
         nsteps=3000,
     )
+
+
+def test_mixture_block_chunk_schedule():
+    """The io-derived chunk schedule must round to block multiples so the
+    blocked path engages (a non-multiple chunk silently falls back)."""
+    import jax.numpy as jnp
+
+    from emcee_tpu import EnsembleSampler
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    mix = [(moves.DEMove(), 0.8), (moves.DESnookerMove(), 0.2)]
+    s = EnsembleSampler(
+        32, 2, lp, vectorize=True, moves=mix, mixture_block=32, seed=0
+    )
+    assert s._chunk_schedule(100, 25) == [32, 32, 32, 4]
+    assert s._chunk_schedule(64, 100) == [64]
+    assert s._chunk_schedule(10, 100) == [10]  # < one block: fallback
+    # single move: schedule unaffected by mixture_block
+    s1 = EnsembleSampler(32, 2, lp, vectorize=True, mixture_block=32, seed=0)
+    assert s1._chunk_schedule(100, 25) == [25, 25, 25, 25]
+
+    # End-to-end: io-limited chunks with a ragged tail still store the
+    # full chain correctly through the blocked path.
+    import numpy as np
+
+    s2 = EnsembleSampler(
+        32, 2, lp, vectorize=True, moves=mix, mixture_block=8,
+        io_chunk_bytes=32 * 5 * 4 * 6, seed=0,  # ~6 kept steps per chunk
+    )
+    s2.run_mcmc(np.random.default_rng(0).normal(size=(32, 2)), 20)
+    chain = np.asarray(s2.get_chain())
+    assert chain.shape == (20, 32, 2)
+    assert np.all(np.isfinite(chain))

@@ -194,3 +194,19 @@ def test_sharded_run():
     chain = np.asarray(s.get_chain())
     assert chain.shape == (10, nwalkers, ndim)
     assert np.all(np.isfinite(chain))
+
+
+def test_accepted_setter_invalidates_cache():
+    """Assigning accepted (seeding a new cumulative base) must not serve
+    a stale cached total."""
+    be = backends.DeviceBackend()
+    be.reset(4, 2)
+    state = State(
+        coords=np.ones((4, 2)),
+        log_prob=np.zeros(4),
+        random_state=jax.random.key(0),
+    )
+    be.save_step(state, np.array([1, 0, 1, 1]))
+    np.testing.assert_array_equal(be.accepted, [1, 0, 1, 1])  # caches
+    be.accepted = np.array([10, 10, 10, 10])
+    np.testing.assert_array_equal(be.accepted, [11, 10, 11, 11])
