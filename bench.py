@@ -86,7 +86,11 @@ def main():
     # stdout/stderr to exactly the one JSON line the driver parses.
     logging.getLogger("emcee_tpu.ops.autocorr").setLevel(logging.ERROR)
     nwalkers, ndim = 100_000, 5
-    nsteps = 512
+    # Chunk length sweep (docs/performance.md): per-dispatch overhead on
+    # the tunneled runtime is large enough that 512-step chunks leave
+    # ~35% on the table (2.0e9) vs 4096-step chunks (3.2e9); the curve
+    # plateaus at 8192.
+    nsteps = 4096
 
     def log_prob(x):
         return -0.5 * jnp.sum(x**2, axis=-1)
@@ -175,11 +179,16 @@ def main():
         st, kept, thin_by=thin_by, skip_initial_state_check=True
     )
     _phase("ess warm-up run done (compile paid)")
-    sampler.reset()
-    t1 = time.perf_counter()
-    sampler.run_mcmc(st, kept, thin_by=thin_by, skip_initial_state_check=True)
-    dt_store = time.perf_counter() - t1
-    _phase("ess run done")
+    # Best-of-2, same policy as the other timings (tunnel hiccups).
+    dt_store = float("inf")
+    for _ in range(2):
+        sampler.reset()
+        t1 = time.perf_counter()
+        st = sampler.run_mcmc(
+            st, kept, thin_by=thin_by, skip_initial_state_check=True
+        )
+        dt_store = min(dt_store, time.perf_counter() - t1)
+    _phase("ess runs done")
     # Host-numpy Sokal tau (same estimator as emcee_tpu.autocorr): the
     # device FFT path would add several eager compiles, each a remote
     # round trip that can cost minutes when the compile service is busy.
