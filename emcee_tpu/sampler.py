@@ -748,9 +748,11 @@ class EnsembleSampler:
             for leaf in jax.tree_util.tree_leaves(state.blobs):
                 bytes_per_step += leaf.size * leaf.dtype.itemsize
         n = max(1, self._io_chunk_bytes // max(1, bytes_per_step))
-        # Keep the scan length sane: very long scans inflate compile time
-        # for no throughput benefit once dispatch overhead is amortized.
-        return int(min(n, 1024))
+        # Cap the scan length: dispatch overhead on the tunneled runtime
+        # keeps paying off up to ~4096 steps/chunk (chunk-length sweep in
+        # docs/performance.md), and beyond that the curve is flat while
+        # host-overlap granularity and progress updates get coarser.
+        return int(min(n, 4096))
 
     def _chunk_schedule(self, nsteps, max_chunk):
         """Split nsteps into chunk sizes, minimizing distinct scan lengths.
