@@ -778,8 +778,11 @@ class PTSampler:
             state.coords.size * state.coords.dtype.itemsize
             + 3 * state.log_like.size * state.log_like.dtype.itemsize
         )
+        # 4096-step cap: dispatch overhead keeps paying off up to ~4k
+        # steps/chunk on this runtime (chunk-length sweep,
+        # docs/performance.md).
         max_chunk = max(
-            1, min(1024, self._io_chunk_bytes // max(1, bytes_per_step))
+            1, min(4096, self._io_chunk_bytes // max(1, bytes_per_step))
         )
         nsteps = int(nsteps)
         sizes = (
