@@ -34,6 +34,9 @@ def main():
         moves=[(moves.DEMove(), 0.8), (moves.DESnookerMove(), 0.2)],
         seed=3,
         scan_unroll=8,
+        # Draw the move once per 16 kept steps: blocks run as pure-move
+        # scans with no lax.switch dispatch in the hot loop (moves.md).
+        mixture_block=16,
     )
     sampler.run_mcmc(p0, nsteps, progress=True)
 
