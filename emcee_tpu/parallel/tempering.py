@@ -125,6 +125,7 @@ class PTSampler:
         walker_axis: str = "walkers",
         temp_axis: Optional[str] = None,
         io_chunk_bytes: int = 1 << 27,
+        scan_unroll: int = 4,
     ):
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
@@ -196,6 +197,10 @@ class PTSampler:
             log_prior_fn, vectorize=vectorize
         )
         self._io_chunk_bytes = int(io_chunk_bytes)
+        # Per-scan-iteration runtime overhead (~55us on this v5e)
+        # dominates small tempered ensembles; unrolling amortizes it,
+        # exactly as in EnsembleSampler.
+        self._scan_unroll = int(scan_unroll)
 
         # Host-side storage with crash-resume, like EnsembleSampler.
         from ..backends.pt import PTBackend
@@ -575,6 +580,7 @@ class PTSampler:
                 one,
                 carry,
                 base + jnp.arange(thin_by),
+                unroll=min(self._scan_unroll, thin_by),
             )
             if store:
                 out = (
@@ -592,6 +598,7 @@ class PTSampler:
                 kept,
                 (state, carries, swap_acc_tot, betas),
                 kept0 + jnp.arange(nkeep),
+                unroll=min(self._scan_unroll, nkeep),
             )
             return state, carries, swp, outs
 
