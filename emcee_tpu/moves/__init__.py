@@ -10,6 +10,7 @@ from .base import Move
 from .blended import BlendedMove
 from .de import DEMove
 from .de_snooker import DESnookerMove
+from .gradient import HMCMove, MALAMove
 from .side import SideMove
 from .gaussian import GaussianMove
 from .kde import KDEMove
@@ -30,4 +31,6 @@ __all__ = [
     "DESnookerMove",
     "SideMove",
     "BlendedMove",
+    "MALAMove",
+    "HMCMove",
 ]

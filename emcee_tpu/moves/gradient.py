@@ -1,0 +1,221 @@
+"""Gradient-based moves: MALA and HMC via JAX autodiff.
+
+No counterpart exists in the reference (it is a gradient-free library by
+construction — numpy log-probs have no derivatives).  Here the user's
+log-prob is a JAX function, so its gradient is free (``jax.grad``
+through the same wrapped callable every other move evaluates,
+``model.compute_log_prob``), and Langevin/Hamiltonian proposals become
+natural members of the move family:
+
+* :class:`MALAMove` — Metropolis-adjusted Langevin: drift along the
+  gradient plus Gaussian noise, with the exact asymmetric-proposal
+  correction.  Two gradient evaluations per step.
+* :class:`HMCMove` — Hamiltonian Monte Carlo: ``n_leapfrog``
+  velocity-Verlet steps with fresh Gaussian momenta, accepted by the
+  Hamiltonian difference.  ``n_leapfrog + 1`` gradient evaluations per
+  step; mixes in far fewer steps than random-walk moves on smooth,
+  high-dimensional targets.
+
+Both update the whole ensemble at once (no complement; embarrassingly
+parallel under walker sharding like :class:`~.mh.MHMove`), and both
+support ``tune_target=`` Robbins-Monro step-size adaptation (0.574 is
+the MALA optimum, ~0.65-0.8 typical for HMC).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import Move, accept_update, robbins_monro_tune
+
+__all__ = ["MALAMove", "HMCMove"]
+
+
+class _GradientMove(Move):
+    """Shared machinery: gradient of the batched log-prob, step-size
+    carry, tuning."""
+
+    def __init__(self, step_size, tune_target=None, tune_rate=0.2):
+        self.step_size = float(step_size)
+        if self.step_size <= 0:
+            raise ValueError("step_size must be positive")
+        self.tune_target = tune_target
+        self.tune_rate = float(tune_rate)
+
+    def init_carry(self, nwalkers, ndim):
+        if self.tune_target is None:
+            return ()
+        return {
+            "log_adj": jnp.zeros((), dtype=jnp.float32),
+            "t": jnp.zeros((), dtype=jnp.int32),
+        }
+
+    def tune(self, carry, state, accepted, model=None):
+        if self.tune_target is None:
+            return carry
+        return robbins_monro_tune(
+            carry, accepted, self.tune_target, self.tune_rate, model
+        )
+
+    def _eps(self, carry, dtype):
+        eps = jnp.asarray(self.step_size, dtype=dtype)
+        if isinstance(carry, dict) and "log_adj" in carry:
+            eps = eps * jnp.exp(carry["log_adj"]).astype(dtype)
+        return eps
+
+    @staticmethod
+    def _grad_fn(model):
+        """d log-prob / d coords for the whole batch: the per-walker
+        log-probs decouple, so the gradient of their sum is the stack of
+        per-walker gradients — one backward pass for the ensemble."""
+
+        def neg_potential_sum(x):
+            lp, _ = model.compute_log_prob(x)
+            return jnp.sum(lp)
+
+        return jax.grad(neg_potential_sum)
+
+    def _check(self, model):
+        if model.param_axis is not None:
+            raise NotImplementedError(
+                "gradient moves do not support parameter-axis sharding "
+                "(the gradient of the psum-completed partial log-prob is "
+                "not threaded through the shard transpose)"
+            )
+
+
+class MALAMove(_GradientMove):
+    """Metropolis-adjusted Langevin move.
+
+    Proposal ``q = x + (eps^2/2) grad(x) + eps * N(0, I)`` with the exact
+    asymmetry correction
+    ``factors = log q(x|q) - log q(q|x)``.
+
+    Args:
+        step_size: the Langevin step ``eps``.
+        tune_target: optional target acceptance for Robbins-Monro
+            step-size adaptation under ``run_mcmc(..., tune=True)``
+            (0.574 is the classic MALA optimum).
+        tune_rate: adaptation rate (decays as ``1/sqrt(t)``).
+    """
+
+    def propose(self, key, state, model, carry):
+        self._check(model)
+        nw, nd = state.coords.shape
+        x = state.coords
+        eps = self._eps(carry, x.dtype)
+        grad = self._grad_fn(model)
+
+        k_noise, k_acc = jax.random.split(key)
+        k_noise = model.fold_walker(k_noise)
+        k_acc = model.fold_walker(k_acc)
+
+        g_x = grad(x)
+        z = jax.random.normal(k_noise, (nw, nd), dtype=x.dtype)
+        q = x + 0.5 * eps**2 * g_x + eps * z
+
+        new_log_prob, new_blobs = model.compute_log_prob(q)
+        g_q = grad(q)
+        # log q(q|x) has ||q - x - eps^2/2 g(x)||^2 = eps^2 ||z||^2.
+        rev = x - q - 0.5 * eps**2 * g_q
+        factors = (
+            jnp.sum(z**2, axis=-1) - jnp.sum(rev**2, axis=-1) / eps**2
+        ) / 2.0
+
+        lnpdiff = new_log_prob - state.log_prob + factors
+        accepted = jnp.log(
+            jax.random.uniform(k_acc, (nw,), dtype=lnpdiff.dtype)
+        ) < lnpdiff
+        new_state = accept_update(
+            state, q, new_log_prob, new_blobs, accepted
+        )
+        return new_state, accepted, carry
+
+
+class HMCMove(_GradientMove):
+    """Hamiltonian Monte Carlo move.
+
+    ``n_leapfrog`` velocity-Verlet steps from freshly drawn unit
+    Gaussian momenta; accept with
+    ``log U < logpi(q) - logpi(x) + (|p0|^2 - |pL|^2)/2``.
+
+    Args:
+        step_size: leapfrog step ``eps``.
+        n_leapfrog: number of leapfrog steps per proposal.
+        jitter: relative step-size jitter; each proposal scales ``eps``
+            by ``U(1 - jitter, 1 + jitter)``.  Breaks the resonance
+            pathology where a near-(half-)periodic trajectory length on
+            an oscillatory target makes some observables mix glacially
+            (e.g. ``eps * L ~ pi`` on a unit normal nearly negates the
+            position, so ``|x|`` barely moves).  0.2 is a good default
+            for Gaussian-like targets.
+        tune_target: optional Robbins-Monro step-size adaptation target
+            (typical HMC operating range 0.65-0.8).
+        tune_rate: adaptation rate.
+    """
+
+    def __init__(
+        self,
+        step_size,
+        n_leapfrog=10,
+        jitter=0.0,
+        tune_target=None,
+        tune_rate=0.2,
+    ):
+        super().__init__(step_size, tune_target, tune_rate)
+        self.n_leapfrog = int(n_leapfrog)
+        if self.n_leapfrog < 1:
+            raise ValueError("n_leapfrog must be >= 1")
+        self.jitter = float(jitter)
+        if not 0.0 <= self.jitter < 1.0:
+            raise ValueError("jitter must be in [0, 1)")
+
+    def propose(self, key, state, model, carry):
+        self._check(model)
+        nw, nd = state.coords.shape
+        x = state.coords
+        eps = self._eps(carry, x.dtype)
+        grad = self._grad_fn(model)
+
+        k_mom, k_acc, k_jit = jax.random.split(key, 3)
+        k_mom = model.fold_walker(k_mom)
+        k_acc = model.fold_walker(k_acc)
+        if self.jitter > 0.0:
+            # One scale per proposal (shared across walkers so the
+            # leapfrog stays a single fused program).
+            eps = eps * (
+                1.0
+                + self.jitter
+                * jax.random.uniform(
+                    k_jit, (), dtype=x.dtype, minval=-1.0, maxval=1.0
+                )
+            )
+
+        p0 = jax.random.normal(k_mom, (nw, nd), dtype=x.dtype)
+
+        def leapfrog(carry2, _):
+            xi, pi, gi = carry2
+            pi = pi + 0.5 * eps * gi
+            xi = xi + eps * pi
+            gi = grad(xi)
+            pi = pi + 0.5 * eps * gi
+            return (xi, pi, gi), None
+
+        (q, pL, _), _ = jax.lax.scan(
+            leapfrog, (x, p0, grad(x)), None, length=self.n_leapfrog
+        )
+
+        new_log_prob, new_blobs = model.compute_log_prob(q)
+        lnpdiff = (
+            new_log_prob
+            - state.log_prob
+            + 0.5 * (jnp.sum(p0**2, axis=-1) - jnp.sum(pL**2, axis=-1))
+        )
+        accepted = jnp.log(
+            jax.random.uniform(k_acc, (nw,), dtype=lnpdiff.dtype)
+        ) < lnpdiff
+        new_state = accept_update(
+            state, q, new_log_prob, new_blobs, accepted
+        )
+        return new_state, accepted, carry

@@ -421,9 +421,11 @@ class EnsembleSampler:
         objects, which ``reset()`` never touches — so the canonical
         tuned-burn-in -> ``reset()`` -> production flow keeps its adapted
         scales.  Build a fresh sampler (or move) to discard them.
+        ``_previous_state`` also survives (reference ``ensemble.py:244``
+        leaves it untouched), so ``reset(); run_mcmc(None, n)`` continues
+        from the burn-in's final ensemble.
         """
         self.backend.reset(self.nwalkers, self.ndim)
-        self._previous_state = None
 
     def compute_log_prob(self, coords):
         """Evaluate the batched log-prob with host-side NaN/inf guards.

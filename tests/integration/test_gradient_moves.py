@@ -1,0 +1,117 @@
+"""Gradient-based moves (MALA, HMC) held to the standard statistical
+oracle, plus their tau advantage on a smooth target and the tune hook.
+
+No reference counterpart (emcee is gradient-free); these extend the move
+family using JAX autodiff on the same wrapped log-prob every other move
+evaluates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import emcee_tpu
+from emcee_tpu import EnsembleSampler, moves
+
+from .test_proposal import _test_normal, _test_uniform
+
+
+def test_mala_normal():
+    _test_normal(moves.MALAMove(1.6), nsteps=3000)
+
+
+def test_mala_uniform_sanity():
+    _test_uniform(moves.MALAMove(1.6))
+
+
+def test_hmc_normal():
+    # The generic acceptance window targets random-walk moves; a good
+    # symplectic integrator on a Gaussian accepts ~everything, which is
+    # correct behavior — assert the moments/K-S only.
+    _test_normal(
+        moves.HMCMove(0.5, n_leapfrog=5),
+        nsteps=2000,
+        check_acceptance=False,
+    )
+
+
+def test_hmc_multidim():
+    # jitter breaks the eps*L resonance (0.4*8 = 3.2 ~ half the unit
+    # normal's period would make |x| mix glacially).
+    _test_normal(
+        moves.HMCMove(0.4, n_leapfrog=8, jitter=0.3),
+        ndim=5,
+        nsteps=2000,
+        check_acceptance=False,
+    )
+
+
+def test_hmc_mixes_faster_than_stretch():
+    """On a smooth 10-D normal, HMC's integrated autocorrelation time
+    must beat the random-walk stretch move by a wide margin."""
+    nwalkers, ndim, nsteps = 32, 10, 1500
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    taus = {}
+    for name, mv in (
+        ("stretch", moves.StretchMove()),
+        ("hmc", moves.HMCMove(0.4, n_leapfrog=8, jitter=0.3)),
+    ):
+        s = EnsembleSampler(nwalkers, ndim, lp, moves=mv, seed=0)
+        coords = jax.random.normal(jax.random.key(1), (nwalkers, ndim))
+        s.run_mcmc(coords, nsteps)
+        taus[name] = float(
+            np.max(np.asarray(s.get_autocorr_time(quiet=True)))
+        )
+    assert taus["hmc"] * 3 < taus["stretch"], taus
+
+
+def test_mala_tune_target():
+    """Robbins-Monro step-size adaptation drives acceptance toward the
+    target from a deliberately bad initial step size."""
+    nwalkers, ndim = 64, 3
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    mv = moves.MALAMove(5.0, tune_target=0.574)  # far too large
+    s = EnsembleSampler(nwalkers, ndim, lp, moves=mv, seed=0)
+    coords = jax.random.normal(jax.random.key(1), (nwalkers, ndim))
+    s.run_mcmc(coords, 800, tune=True)
+    s.reset()  # keeps the adapted carry
+    s.run_mcmc(None, 500)
+    acc = float(np.mean(s.acceptance_fraction))
+    assert 0.35 < acc < 0.8, acc
+
+
+def test_gradient_moves_reject_param_sharding():
+    ndev = len(jax.devices())
+    if ndev < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("walkers", "params"))
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    s = EnsembleSampler(
+        8, 4, lp, vectorize=True, moves=moves.MALAMove(0.5),
+        mesh=mesh, param_axis="params", seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(8, 4))
+    with pytest.raises(NotImplementedError):
+        s.run_mcmc(coords, 2)
+
+
+def test_gradient_move_validation():
+    with pytest.raises(ValueError):
+        moves.MALAMove(0.0)
+    with pytest.raises(ValueError):
+        moves.HMCMove(0.5, n_leapfrog=0)
+    with pytest.raises(ValueError):
+        moves.HMCMove(0.5, jitter=1.5)
