@@ -256,3 +256,28 @@ def test_pt_tune_hook_adapts_red_blue():
     assert np.all(carry["t"] == 150)
     # The oversized stretch must have been pulled in on every rung.
     assert np.all(carry["log_adj"] < -1e-2)
+
+
+def test_pt_with_gradient_move():
+    """Tempered Langevin: gradient moves run per rung through the same
+    Move protocol (the tempered model exposes compute_log_prob, so
+    jax.grad flows through beta*logL + logP); the bimodal mode-occupation
+    oracle confirms swaps still carry states down the ladder."""
+    from emcee_tpu import moves as _m
+
+    def log_like(x):
+        a = -0.5 * jnp.sum((x - 3.0) ** 2)
+        b = -0.5 * jnp.sum((x + 3.0) ** 2)
+        return jnp.logaddexp(a, b)
+
+    def log_prior(x):
+        return -0.5 * jnp.sum(x**2) / 100.0  # smooth: grads everywhere
+
+    pt = PTSampler(
+        8, 32, 1, log_like, log_prior, seed=0, moves=_m.MALAMove(0.8)
+    )
+    c0 = np.random.default_rng(0).normal(size=(8, 32, 1))
+    pt.run_mcmc(c0, 1500)
+    cold = np.asarray(pt.get_chain(temp=0, flat=True, discard=300))
+    frac_pos = float(np.mean(cold > 0))
+    assert 0.25 < frac_pos < 0.75, frac_pos
