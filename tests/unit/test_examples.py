@@ -68,3 +68,9 @@ def test_example_device_resident():
     mod.check_every = 100
     mod.max_rounds = 3
     mod.main()
+
+
+def test_example_gradient_moves():
+    mod = _load("07_gradient_moves.py")
+    mod.nsteps = 400
+    mod.main()
