@@ -57,6 +57,16 @@ class Model(NamedTuple):
     nwalkers: Optional[int] = None
     param_axis: Optional[str] = None
     ndim: Optional[int] = None
+    #: With ``param_axis``: the shard-local PARTIAL log-prob (no psum).
+    #: Gradient moves differentiate this — the local parameter block's
+    #: gradient depends only on the local partial, and differentiating
+    #: through the psum would overcount by the axis size (psum's
+    #: transpose under ``shard_map(check_vma=False)`` is psum).
+    compute_log_prob_partial: Optional[Callable[[jax.Array], tuple]] = None
+
+    def log_prob_for_grad(self):
+        """The callable gradient-based moves should differentiate."""
+        return self.compute_log_prob_partial or self.compute_log_prob
 
     def global_ndim(self, local_ndim: int) -> float:
         return self.ndim if self.ndim is not None else local_ndim

@@ -68,21 +68,41 @@ class _GradientMove(Move):
     def _grad_fn(model):
         """d log-prob / d coords for the whole batch: the per-walker
         log-probs decouple, so the gradient of their sum is the stack of
-        per-walker gradients — one backward pass for the ensemble."""
+        per-walker gradients — one backward pass for the ensemble.
+        Under parameter sharding this differentiates the shard-local
+        PARTIAL log-prob (``model.log_prob_for_grad``): the local block's
+        gradient depends only on the local partial sum, and
+        differentiating through the psum would overcount by the axis
+        size."""
+        fn = model.log_prob_for_grad()
 
         def neg_potential_sum(x):
-            lp, _ = model.compute_log_prob(x)
+            lp, _ = fn(x)
             return jnp.sum(lp)
 
         return jax.grad(neg_potential_sum)
 
-    def _check(self, model):
-        if model.param_axis is not None:
-            raise NotImplementedError(
-                "gradient moves do not support parameter-axis sharding "
-                "(the gradient of the psum-completed partial log-prob is "
-                "not threaded through the shard transpose)"
-            )
+    # Parameter-axis sharding: supported.  The gradient of the
+    # psum-completed log-prob is shard-local (each shard's partial sum
+    # depends only on its own parameter block), per-dim noise uses a
+    # topology-invariant stream (full-dim draw, local slice), and the
+    # per-walker dim reductions in factors/kinetic terms are
+    # psum-completed.  Verified by matched-key equivalence vs a dense
+    # run (tests/unit/test_param_sharding.py).
+
+    @staticmethod
+    def _dim_normal(key, nw, nd_local, model, dtype):
+        """Per-(walker, dim) Gaussian noise with a topology-invariant
+        stream: under parameter sharding, draw the full-dim block and
+        slice this shard's columns, so sharded and dense runs produce
+        identical chains at matched keys (the framework's
+        bit-identical-across-topologies contract)."""
+        if model.param_axis is None:
+            return jax.random.normal(key, (nw, nd_local), dtype=dtype)
+        nd_global = int(model.ndim)
+        full = jax.random.normal(key, (nw, nd_global), dtype=dtype)
+        start = jax.lax.axis_index(model.param_axis) * nd_local
+        return jax.lax.dynamic_slice_in_dim(full, start, nd_local, axis=1)
 
 
 class MALAMove(_GradientMove):
@@ -101,7 +121,6 @@ class MALAMove(_GradientMove):
     """
 
     def propose(self, key, state, model, carry):
-        self._check(model)
         nw, nd = state.coords.shape
         x = state.coords
         eps = self._eps(carry, x.dtype)
@@ -112,7 +131,7 @@ class MALAMove(_GradientMove):
         k_acc = model.fold_walker(k_acc)
 
         g_x = grad(x)
-        z = jax.random.normal(k_noise, (nw, nd), dtype=x.dtype)
+        z = self._dim_normal(k_noise, nw, nd, model, x.dtype)
         q = x + 0.5 * eps**2 * g_x + eps * z
 
         new_log_prob, new_blobs = model.compute_log_prob(q)
@@ -120,7 +139,8 @@ class MALAMove(_GradientMove):
         # log q(q|x) has ||q - x - eps^2/2 g(x)||^2 = eps^2 ||z||^2.
         rev = x - q - 0.5 * eps**2 * g_q
         factors = (
-            jnp.sum(z**2, axis=-1) - jnp.sum(rev**2, axis=-1) / eps**2
+            model.psum_params(jnp.sum(z**2, axis=-1))
+            - model.psum_params(jnp.sum(rev**2, axis=-1)) / eps**2
         ) / 2.0
 
         lnpdiff = new_log_prob - state.log_prob + factors
@@ -172,7 +192,6 @@ class HMCMove(_GradientMove):
             raise ValueError("jitter must be in [0, 1)")
 
     def propose(self, key, state, model, carry):
-        self._check(model)
         nw, nd = state.coords.shape
         x = state.coords
         eps = self._eps(carry, x.dtype)
@@ -192,7 +211,7 @@ class HMCMove(_GradientMove):
                 )
             )
 
-        p0 = jax.random.normal(k_mom, (nw, nd), dtype=x.dtype)
+        p0 = self._dim_normal(k_mom, nw, nd, model, x.dtype)
 
         def leapfrog(carry2, _):
             xi, pi, gi = carry2
@@ -210,7 +229,10 @@ class HMCMove(_GradientMove):
         lnpdiff = (
             new_log_prob
             - state.log_prob
-            + 0.5 * (jnp.sum(p0**2, axis=-1) - jnp.sum(pL**2, axis=-1))
+            + 0.5
+            * model.psum_params(
+                jnp.sum(p0**2, axis=-1) - jnp.sum(pL**2, axis=-1)
+            )
         )
         accepted = jnp.log(
             jax.random.uniform(k_acc, (nw,), dtype=lnpdiff.dtype)

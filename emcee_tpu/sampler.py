@@ -274,14 +274,17 @@ class EnsembleSampler:
                 return jax.lax.psum(lp, paxis), None
 
             model_log_prob = _sharded_log_prob
+            partial_log_prob = base_fn
         else:
             model_log_prob = self._compute_log_prob
+            partial_log_prob = None
         return Model(
             compute_log_prob=model_log_prob,
             axis_name=self._axis_name,
             nwalkers=self.nwalkers,
             param_axis=self._param_axis,
             ndim=self.ndim,
+            compute_log_prob_partial=partial_log_prob,
         )
 
     # ------------------------------------------------------------------

@@ -87,7 +87,10 @@ def test_mala_tune_target():
     assert 0.35 < acc < 0.8, acc
 
 
-def test_gradient_moves_reject_param_sharding():
+def test_gradient_moves_param_sharded_smoke():
+    """Param sharding is supported: the gradient is computed from the
+    shard-local partial log-prob and the dim reductions psum.  The exact
+    matched-key equivalence oracle lives in test_param_sharding."""
     ndev = len(jax.devices())
     if ndev < 4:
         pytest.skip("needs >=4 devices")
@@ -104,8 +107,8 @@ def test_gradient_moves_reject_param_sharding():
         mesh=mesh, param_axis="params", seed=0,
     )
     coords = np.random.default_rng(0).normal(size=(8, 4))
-    with pytest.raises(NotImplementedError):
-        s.run_mcmc(coords, 2)
+    s.run_mcmc(coords, 10)
+    assert np.all(np.isfinite(np.asarray(s.get_chain())))
 
 
 def test_gradient_move_validation():

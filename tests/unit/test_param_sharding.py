@@ -62,6 +62,8 @@ def _run(move, nwalkers=64, ndim=8, nsteps=800, seed=0):
         moves.DESnookerMove(),
         moves.GaussianMove(0.5),
         moves.SideMove(),
+        moves.MALAMove(1.2),
+        moves.HMCMove(0.8, n_leapfrog=5, jitter=0.2),
     ],
     ids=[
         "stretch",
@@ -72,6 +74,8 @@ def _run(move, nwalkers=64, ndim=8, nsteps=800, seed=0):
         "snooker",
         "gaussian",
         "side",
+        "mala",
+        "hmc",
     ],
 )
 def test_param_sharded_statistics(move):
@@ -183,6 +187,76 @@ print("OK")
 """
     import os
 
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.join(os.path.dirname(__file__), "..", "..")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env={**env, "PYTHONPATH": repo},
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout
+
+
+def test_param_sharded_mala_matches_unsharded_exactly():
+    """Gradient-move matched-key equivalence: MALA's per-dim noise uses a
+    topology-invariant stream (full-dim draw, local slice) and its
+    factors psum over parameter shards, so a (1 x 8 param-shard) run
+    reproduces the dense chain to reduction-order noise under x64.
+    Exercises jax.grad through the psum-completed partial log-prob."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+from emcee_tpu import EnsembleSampler, State, moves
+
+
+def partial_lp(x):
+    return -0.5 * jnp.sum(x**2, axis=-1)
+
+
+nw, nd, nsteps = 32, 8, 150
+coords = np.asarray(
+    jax.random.normal(jax.random.key(0), (nw, nd), dtype=jnp.float64)
+)
+start = lambda: State(jnp.asarray(coords), random_state=jax.random.key(7))
+
+mesh_a = Mesh(np.array(jax.devices()[:1]), ("walkers",))
+a = EnsembleSampler(
+    nw, nd, partial_lp, vectorize=True, seed=0, mesh=mesh_a,
+    moves=moves.MALAMove(0.6),
+)
+a.run_mcmc(start(), nsteps)
+
+mesh_b = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("walkers", "params"))
+b = EnsembleSampler(
+    nw, nd, partial_lp, vectorize=True, seed=0, mesh=mesh_b,
+    param_axis="params", moves=moves.MALAMove(0.6),
+)
+b.run_mcmc(start(), nsteps)
+
+ca, cb = np.asarray(a.get_chain()), np.asarray(b.get_chain())
+np.testing.assert_allclose(cb, ca, rtol=1e-9, atol=1e-12)
+np.testing.assert_array_equal(
+    np.asarray(a.backend.accepted), np.asarray(b.backend.accepted)
+)
+print("OK")
+"""
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     repo = os.path.join(os.path.dirname(__file__), "..", "..")
