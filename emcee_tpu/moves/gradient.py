@@ -34,14 +34,60 @@ __all__ = ["MALAMove", "HMCMove"]
 
 class _GradientMove(Move):
     """Shared machinery: gradient of the batched log-prob, step-size
-    carry, tuning."""
+    carry, tuning, optional preconditioner."""
 
-    def __init__(self, step_size, tune_target=None, tune_rate=0.2):
+    def __init__(self, step_size, cov=None, tune_target=None,
+                 tune_rate=0.2):
         self.step_size = float(step_size)
         if self.step_size <= 0:
             raise ValueError("step_size must be positive")
         self.tune_target = tune_target
         self.tune_rate = float(tune_rate)
+        # Preconditioner: proposal metric C = L L^T (None = identity;
+        # scalar/vector = diagonal; matrix = full covariance).  All the
+        # quadratic forms reduce to matvecs by L / L^T — no triangular
+        # solves (see MALAMove.propose).
+        import numpy as np
+
+        self._precond = "id"
+        self._L = None
+        if cov is not None:
+            try:
+                self._L = float(np.sqrt(float(cov)))
+                self._precond = "scalar"
+            except TypeError:
+                cov = np.atleast_1d(np.asarray(cov))
+                if cov.ndim == 1:
+                    self._L = np.sqrt(cov)
+                    self._precond = "diag"
+                elif cov.ndim == 2 and cov.shape[0] == cov.shape[1]:
+                    self._L = np.linalg.cholesky(cov)
+                    self._precond = "full"
+                else:
+                    raise ValueError("Invalid cov dimensions")
+
+    def _check_precond(self, model):
+        if self._precond != "id" and model.param_axis is not None:
+            raise NotImplementedError(
+                "preconditioned gradient moves do not support "
+                "parameter-axis sharding (the metric couples dimensions)"
+            )
+
+    def _apply_L(self, v):
+        """v -> v L^T (rows are walkers): maps y-space to x-space."""
+        if self._precond == "id":
+            return v
+        if self._precond in ("scalar", "diag"):
+            return v * jnp.asarray(self._L, dtype=v.dtype)
+        return v @ jnp.asarray(self._L, dtype=v.dtype).T
+
+    def _apply_LT(self, v):
+        """v -> v L: maps x-space gradients to y-space."""
+        if self._precond == "id":
+            return v
+        if self._precond in ("scalar", "diag"):
+            return v * jnp.asarray(self._L, dtype=v.dtype)
+        return v @ jnp.asarray(self._L, dtype=v.dtype)
 
     def init_carry(self, nwalkers, ndim):
         if self.tune_target is None:
@@ -121,6 +167,7 @@ class MALAMove(_GradientMove):
     """
 
     def propose(self, key, state, model, carry):
+        self._check_precond(model)
         nw, nd = state.coords.shape
         x = state.coords
         eps = self._eps(carry, x.dtype)
@@ -132,15 +179,23 @@ class MALAMove(_GradientMove):
 
         g_x = grad(x)
         z = self._dim_normal(k_noise, nw, nd, model, x.dtype)
-        q = x + 0.5 * eps**2 * g_x + eps * z
+        # Preconditioned drift C g = L L^T g; noise L z.
+        q = (
+            x
+            + 0.5 * eps**2 * self._apply_L(self._apply_LT(g_x))
+            + eps * self._apply_L(z)
+        )
 
         new_log_prob, new_blobs = model.compute_log_prob(q)
         g_q = grad(q)
-        # log q(q|x) has ||q - x - eps^2/2 g(x)||^2 = eps^2 ||z||^2.
-        rev = x - q - 0.5 * eps**2 * g_q
+        # Metric-weighted residuals without triangular solves:
+        # L^{-1}(q - x - (eps^2/2) C g_x) = eps z, and the reverse
+        # residual L^{-1}(x - q - (eps^2/2) C g_q) expands to
+        # -eps z - (eps^2/2) L^T (g_x + g_q).
+        linv_rev = -eps * z - 0.5 * eps**2 * self._apply_LT(g_x + g_q)
         factors = (
             model.psum_params(jnp.sum(z**2, axis=-1))
-            - model.psum_params(jnp.sum(rev**2, axis=-1)) / eps**2
+            - model.psum_params(jnp.sum(linv_rev**2, axis=-1)) / eps**2
         ) / 2.0
 
         lnpdiff = new_log_prob - state.log_prob + factors
@@ -180,10 +235,14 @@ class HMCMove(_GradientMove):
         step_size,
         n_leapfrog=10,
         jitter=0.0,
+        cov=None,
         tune_target=None,
         tune_rate=0.2,
     ):
-        super().__init__(step_size, tune_target, tune_rate)
+        super().__init__(
+            step_size, cov=cov, tune_target=tune_target,
+            tune_rate=tune_rate,
+        )
         self.n_leapfrog = int(n_leapfrog)
         if self.n_leapfrog < 1:
             raise ValueError("n_leapfrog must be >= 1")
@@ -192,6 +251,7 @@ class HMCMove(_GradientMove):
             raise ValueError("jitter must be in [0, 1)")
 
     def propose(self, key, state, model, carry):
+        self._check_precond(model)
         nw, nd = state.coords.shape
         x = state.coords
         eps = self._eps(carry, x.dtype)
@@ -214,11 +274,15 @@ class HMCMove(_GradientMove):
         p0 = self._dim_normal(k_mom, nw, nd, model, x.dtype)
 
         def leapfrog(carry2, _):
+            # Velocity Verlet in the preconditioned (y = L^{-1} x) frame:
+            # momenta are unit-mass there; gradients map by L^T, position
+            # updates by L.  Identity preconditioner reduces to plain
+            # leapfrog.
             xi, pi, gi = carry2
-            pi = pi + 0.5 * eps * gi
-            xi = xi + eps * pi
+            pi = pi + 0.5 * eps * self._apply_LT(gi)
+            xi = xi + eps * self._apply_L(pi)
             gi = grad(xi)
-            pi = pi + 0.5 * eps * gi
+            pi = pi + 0.5 * eps * self._apply_LT(gi)
             return (xi, pi, gi), None
 
         (q, pL, _), _ = jax.lax.scan(

@@ -118,3 +118,81 @@ def test_gradient_move_validation():
         moves.HMCMove(0.5, n_leapfrog=0)
     with pytest.raises(ValueError):
         moves.HMCMove(0.5, jitter=1.5)
+
+
+def test_preconditioned_mala_on_correlated_target():
+    """cov= preconditioning: on a strongly correlated Gaussian the
+    preconditioned chain must recover the covariance and mix far faster
+    than the unpreconditioned one."""
+    ndim, nwalkers, nsteps = 8, 64, 1200
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(ndim, ndim)) / np.sqrt(ndim)
+    cov = A @ A.T + 0.1 * np.eye(ndim)  # condition number O(100)
+    icov = jnp.asarray(np.linalg.inv(cov), dtype=jnp.float32)
+
+    def lp(x):
+        return -0.5 * x @ icov @ x
+
+    p0 = rng.normal(size=(nwalkers, ndim)) @ np.linalg.cholesky(cov).T
+
+    taus = {}
+    for name, mv in (
+        ("plain", moves.MALAMove(0.2)),
+        ("precond", moves.MALAMove(1.2, cov=cov)),
+    ):
+        s = EnsembleSampler(nwalkers, ndim, lp, moves=mv, seed=0)
+        s.run_mcmc(p0, nsteps)
+        taus[name] = float(
+            np.max(np.asarray(s.get_autocorr_time(quiet=True, tol=0)))
+        )
+        if name == "precond":
+            flat = np.asarray(s.get_chain(flat=True, discard=nsteps // 4))
+            err = np.linalg.norm(
+                np.cov(flat, rowvar=False) - cov
+            ) / np.linalg.norm(cov)
+            assert err < 0.15, err
+    assert taus["precond"] * 3 < taus["plain"], taus
+
+
+def test_preconditioned_hmc_diag():
+    """Diagonal preconditioner on an anisotropic target."""
+    ndim, nwalkers = 4, 64
+    scales = jnp.asarray([0.1, 1.0, 10.0, 100.0])
+
+    def lp(x):
+        return -0.5 * jnp.sum((x / scales) ** 2)
+
+    mv = moves.HMCMove(
+        0.7, n_leapfrog=5, jitter=0.2, cov=np.asarray(scales) ** 2
+    )
+    s = EnsembleSampler(nwalkers, ndim, lp, moves=mv, seed=0)
+    p0 = np.random.default_rng(0).normal(size=(nwalkers, ndim)) * np.asarray(
+        scales
+    )
+    s.run_mcmc(p0, 1500)
+    flat = np.asarray(s.get_chain(flat=True, discard=300))
+    ratio = flat.std(axis=0) / np.asarray(scales)
+    assert np.all(np.abs(ratio - 1) < 0.1), ratio
+    tau = np.max(np.asarray(s.get_autocorr_time(quiet=True, tol=0)))
+    assert tau < 10, tau
+
+
+def test_precond_rejects_param_sharding():
+    ndev = len(jax.devices())
+    if ndev < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("walkers", "params"))
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    s = EnsembleSampler(
+        8, 4, lp, vectorize=True, moves=moves.MALAMove(0.5, cov=2.0),
+        mesh=mesh, param_axis="params", seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(8, 4))
+    with pytest.raises(NotImplementedError):
+        s.run_mcmc(coords, 2)
