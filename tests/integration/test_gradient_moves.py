@@ -196,3 +196,22 @@ def test_precond_rejects_param_sharding():
     coords = np.random.default_rng(0).normal(size=(8, 4))
     with pytest.raises(NotImplementedError):
         s.run_mcmc(coords, 2)
+
+
+def test_mala_with_hard_prior_bounds():
+    """The common bounded-prior pattern — jnp.where(inside, lp, -inf) —
+    is safe with gradient moves: the -inf branch is a constant (zero
+    cotangent), proposals that land outside get -inf log-prob and are
+    rejected, and the chain stays finite and in bounds."""
+
+    def lp(x):
+        inside = jnp.all(jnp.abs(x) < 2.0)
+        return jnp.where(inside, -0.5 * jnp.sum(x**2), -jnp.inf)
+
+    s = EnsembleSampler(32, 2, lp, moves=moves.MALAMove(0.8), seed=0)
+    p0 = np.random.default_rng(0).normal(size=(32, 2)) * 0.5
+    s.run_mcmc(p0, 500)
+    ch = np.asarray(s.get_chain())
+    assert np.all(np.isfinite(ch))
+    assert np.all(np.abs(ch) < 2.0)
+    assert float(np.mean(s.acceptance_fraction)) > 0.3
