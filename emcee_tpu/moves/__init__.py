@@ -10,7 +10,7 @@ from .base import Move
 from .blended import BlendedMove
 from .de import DEMove
 from .de_snooker import DESnookerMove
-from .gradient import HMCMove, MALAMove
+from .gradient import EnsembleMALAMove, HMCMove, MALAMove
 from .side import SideMove
 from .gaussian import GaussianMove
 from .kde import KDEMove
@@ -33,4 +33,5 @@ __all__ = [
     "BlendedMove",
     "MALAMove",
     "HMCMove",
+    "EnsembleMALAMove",
 ]

@@ -215,3 +215,67 @@ def test_mala_with_hard_prior_bounds():
     assert np.all(np.isfinite(ch))
     assert np.all(np.abs(ch) < 2.0)
     assert float(np.mean(s.acceptance_fraction)) > 0.3
+
+
+def test_ensemble_mala_normal():
+    """Ensemble-preconditioned MALA (complement-covariance metric) on
+    the standard oracle."""
+    _test_normal(
+        moves.EnsembleMALAMove(1.2), ndim=3, nsteps=3000,
+        check_acceptance=False,
+    )
+
+
+def test_ensemble_mala_affine_invariance():
+    """The whole point: on a strongly correlated target, the ensemble
+    metric adapts by itself — no cov= argument — and tau beats the
+    stretch move while the covariance is recovered."""
+    ndim, nwalkers, nsteps = 8, 64, 1500
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(ndim, ndim)) / np.sqrt(ndim)
+    cov = A @ A.T + 0.1 * np.eye(ndim)  # condition number O(100)
+    icov = jnp.asarray(np.linalg.inv(cov), dtype=jnp.float32)
+
+    def lp(x):
+        return -0.5 * x @ icov @ x
+
+    p0 = rng.normal(size=(nwalkers, ndim)) @ np.linalg.cholesky(cov).T
+
+    taus = {}
+    for name, mv in (
+        ("stretch", moves.StretchMove()),
+        ("emala", moves.EnsembleMALAMove(1.0)),
+    ):
+        s = EnsembleSampler(nwalkers, ndim, lp, moves=mv, seed=0)
+        s.run_mcmc(p0, nsteps)
+        taus[name] = float(
+            np.max(np.asarray(s.get_autocorr_time(quiet=True, tol=0)))
+        )
+        if name == "emala":
+            flat = np.asarray(s.get_chain(flat=True, discard=nsteps // 4))
+            err = np.linalg.norm(
+                np.cov(flat, rowvar=False) - cov
+            ) / np.linalg.norm(cov)
+            assert err < 0.15, err
+    assert taus["emala"] * 2 < taus["stretch"], taus
+
+
+def test_ensemble_mala_rejects_param_sharding():
+    ndev = len(jax.devices())
+    if ndev < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("walkers", "params"))
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    s = EnsembleSampler(
+        16, 4, lp, vectorize=True, moves=moves.EnsembleMALAMove(0.8),
+        mesh=mesh, param_axis="params", seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(16, 4))
+    with pytest.raises(NotImplementedError):
+        s.run_mcmc(coords, 2)

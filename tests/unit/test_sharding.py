@@ -190,3 +190,21 @@ def test_sharded_red_blue_tune():
     s.run_mcmc(None, 400, tune=True)
     late = (s.backend.accepted - before) / 400.0
     assert 0.15 < late.mean() < 0.45, late.mean()
+
+
+def test_sharded_ensemble_mala():
+    """EnsembleMALAMove under walker sharding: the complement covariance
+    is built from the globally-gathered complement, so the metric is
+    identical on every shard."""
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    s = EnsembleSampler(
+        64, 3, lp, moves=moves.EnsembleMALAMove(1.0),
+        mesh=walker_mesh(8), seed=0,
+    )
+    p0 = np.random.default_rng(0).normal(size=(64, 3))
+    s.run_mcmc(p0, 600)
+    flat = np.asarray(s.get_chain(flat=True, discard=150))
+    assert np.all(np.abs(flat.std(axis=0) - 1) < 0.08)
