@@ -306,3 +306,31 @@ def test_red_blue_tuned_sampling_is_correct():
     samps = np.asarray(s.get_chain(flat=True))
     assert np.all(np.abs(samps.mean(axis=0)) < 0.08)
     assert np.all(np.abs(samps.std(axis=0) - 1) < 0.05)
+
+
+def test_ensemble_mala_tune_targets_acceptance():
+    """EnsembleMALAMove inherits the red-blue scale tuner: a grossly
+    oversized step adapts toward the target under tune=True."""
+    from emcee_tpu import EnsembleSampler
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    nw, nd = 32, 4
+    p0 = np.random.default_rng(0).normal(size=(nw, nd))
+    s = EnsembleSampler(
+        nw, nd, lp,
+        moves=moves.EnsembleMALAMove(8.0, tune_target=0.5), seed=0,
+    )
+    s.run_mcmc(p0, 1500, tune=True)
+    before = s.backend.accepted.copy()
+    s.run_mcmc(None, 500, tune=True)
+    late = (s.backend.accepted - before) / 500.0
+    assert 0.3 < late.mean() < 0.7, late.mean()
+
+    # Control: untuned, the oversized step stays stuck.
+    s2 = EnsembleSampler(
+        nw, nd, lp, moves=moves.EnsembleMALAMove(8.0), seed=0
+    )
+    s2.run_mcmc(p0, 500)
+    assert s2.acceptance_fraction.mean() < 0.1
