@@ -349,3 +349,21 @@ def test_deprecated_v2_properties_and_random_state():
         jax.random.key_data(sampler.random_state),
         jax.random.key_data(jax.random.key(42)),
     )
+
+
+def test_pickling_with_gradient_move():
+    """Gradient moves (incl. a full-cov preconditioner) survive the
+    sampler pickle round-trip."""
+    import pickle
+
+    cov = np.array([[2.0, 0.3], [0.3, 1.0]])
+    s = EnsembleSampler(
+        16, 2, normal_log_prob, seed=0,
+        moves=moves.MALAMove(0.8, cov=cov),
+    )
+    coords = np.random.default_rng(0).normal(size=(16, 2))
+    s.run_mcmc(coords, 5)
+    s2 = pickle.loads(pickle.dumps(s))
+    s2.run_mcmc(None, 5)
+    assert s2.get_chain().shape[0] == 10  # backend state survives pickle
+    assert np.all(np.isfinite(np.asarray(s2.get_chain())))

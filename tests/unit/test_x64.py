@@ -51,3 +51,40 @@ def test_float64_chain():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_gradient_move_x64():
+    """MALA under jax_enable_x64 (subprocess so the flag can't leak)."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+from emcee_tpu import EnsembleSampler, moves
+
+def lp(x):
+    return -0.5 * jnp.sum(x**2)
+
+s = EnsembleSampler(32, 2, lp, moves=moves.MALAMove(1.2), seed=0)
+p0 = np.random.default_rng(0).normal(size=(32, 2))
+s.run_mcmc(p0, 300)
+ch = np.asarray(s.get_chain())
+assert ch.dtype == np.float64, ch.dtype
+assert np.all(np.isfinite(ch))
+assert abs(ch[100:].std() - 1) < 0.15
+print("OK")
+"""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.join(os.path.dirname(__file__), "..", "..")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env={**env, "PYTHONPATH": repo},
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout
