@@ -84,6 +84,25 @@ def main():
     print("mean |latent - obs|:", err)
     print("acceptance:", float(sampler.acceptance_fraction.mean()))
 
+    # Same posterior through the param-sharded gradient path: MALA's
+    # gradient is computed from each shard's local partial log-prob (no
+    # extra communication) and mixes far faster per proposal at 1e3 dims.
+    mala = EnsembleSampler(
+        nwalkers,
+        ndim,
+        partial_log_prob,
+        vectorize=True,
+        seed=1,
+        mesh=mesh,
+        param_axis="params",
+        moves=moves.MALAMove(0.35),
+    )
+    mala.run_mcmc(p0, max(nsteps // 4, 10), progress=True)
+    mchain = np.asarray(mala.get_chain(flat=True, discard=5))
+    merr = np.abs(mchain[:, :K].mean(0) - _obs).mean()
+    print("MALA mean |latent - obs|:", merr)
+    print("MALA acceptance:", float(mala.acceptance_fraction.mean()))
+
 
 if __name__ == "__main__":
     main()

@@ -108,3 +108,22 @@ if pid == 0:
     got = np.asarray(s2.get_chain(), dtype=ref.dtype)
     assert np.array_equal(got, ref), "device-backend multihost mismatch"
     print("DEVBACKEND OK", flush=True)
+
+# Tempered device backend under multi-host: the PT save path falls back
+# to the gathered-host branch (the wants_device_arrays fast path is
+# single-process only); process 0's PTDeviceBackend must match the
+# PTHDF chain of the identical run above bit-for-bit.
+from emcee_tpu.backends.pt import PTDeviceBackend
+
+pt_dev = PTSampler(
+    T, nw_pt, ndim, log_like, log_prior,
+    backend=PTDeviceBackend(), mesh=mesh, seed=3,
+)
+pt_dev.run_mcmc(c0, 10)
+if pid == 0:
+    ref_pt = np.asarray(
+        PTHDFBackend(os.path.join(outdir, "multihost_pt.h5")).get_chain()
+    )
+    got_pt = np.asarray(pt_dev.get_chain(), dtype=ref_pt.dtype)
+    assert np.array_equal(got_pt, ref_pt), "PT device-backend multihost mismatch"
+    print("PT DEVBACKEND OK", flush=True)

@@ -95,3 +95,25 @@ def test_profiler_trace_smoke(tmp_path):
     # A profile directory must have been produced.
     produced = list(tmp_path.rglob("*"))
     assert produced, "no trace output written"
+
+
+def test_run_until_converged_device_backend():
+    """The monitor loop with an HBM-resident chain: tau is estimated from
+    the device-resident store (no host streaming during the run)."""
+    from emcee_tpu import EnsembleSampler, backends, run_until_converged
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    s = EnsembleSampler(
+        32, 2, lp, backend=backends.DeviceBackend(), seed=0
+    )
+    p0 = np.random.default_rng(0).normal(size=(32, 2))
+    state, monitor = run_until_converged(
+        s, p0, max_steps=30_000, check_every=1_000
+    )
+    assert monitor.tau is not None
+    assert np.all(np.isfinite(np.asarray(monitor.tau)))
+    # converged well before max_steps (tau ~ 10 for stretch on 2-D)
+    assert s.iteration < 30_000
+    assert isinstance(s.get_chain(), jax.Array)
