@@ -63,6 +63,10 @@ class Model(NamedTuple):
     #: through the psum would overcount by the axis size (psum's
     #: transpose under ``shard_map(check_vma=False)`` is psum).
     compute_log_prob_partial: Optional[Callable[[jax.Array], tuple]] = None
+    #: False when the log-prob is a ``pure_callback`` wrapper
+    #: (``host_callback=True``) — it has no JVP, so gradient moves must
+    #: raise a clear error instead of a cryptic trace-time failure.
+    grad_ok: bool = True
 
     def log_prob_for_grad(self):
         """The callable gradient-based moves should differentiate."""

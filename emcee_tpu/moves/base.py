@@ -25,7 +25,13 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Move", "accept_update", "tree_where", "robbins_monro_tune"]
+__all__ = [
+    "Move",
+    "ScaleTunable",
+    "accept_update",
+    "tree_where",
+    "robbins_monro_tune",
+]
 
 
 def robbins_monro_tune(carry, accepted, target, rate, model=None):
@@ -48,6 +54,42 @@ def robbins_monro_tune(carry, accepted, target, rate, model=None):
         "log_adj": jnp.clip(carry["log_adj"] + lr * err, -10.0, 10.0),
         "t": t + 1,
     }
+
+
+class ScaleTunable:
+    """Mixin: the Robbins-Monro tunable-scale carry protocol.
+
+    A move sets ``self.tune_target`` / ``self.tune_rate`` and gains the
+    ``{log_adj, t}`` carry, the ``tune()`` hook, and ``_tuned_scale``
+    (the ``exp(log_adj)`` multiplier).  Used by the red-blue family and
+    the gradient moves so the tuning protocol lives in exactly one
+    place.
+    """
+
+    tune_target = None
+    tune_rate = 0.2
+
+    def init_carry(self, nwalkers, ndim):
+        if self.tune_target is None:
+            return ()
+        return {
+            "log_adj": jnp.zeros((), dtype=jnp.float32),
+            "t": jnp.zeros((), dtype=jnp.int32),
+        }
+
+    def tune(self, carry, state, accepted, model=None):
+        if self.tune_target is None:
+            return carry
+        return robbins_monro_tune(
+            carry, accepted, self.tune_target, self.tune_rate, model
+        )
+
+    @staticmethod
+    def _tuned_scale(carry, dtype):
+        """The carry's scale multiplier (1 when untuned)."""
+        if isinstance(carry, dict) and "log_adj" in carry:
+            return jnp.exp(carry["log_adj"]).astype(dtype)
+        return None
 
 
 def tree_where(mask: jax.Array, new: Any, old: Any) -> Any:

@@ -27,13 +27,45 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .base import Move, accept_update, robbins_monro_tune
+from .base import Move, ScaleTunable, accept_update
 from .red_blue import RedBlueMove
 
 __all__ = ["MALAMove", "HMCMove", "EnsembleMALAMove"]
 
 
-class _GradientMove(Move):
+def _batch_grad(model):
+    """d log-prob / d coords for the whole batch: the per-walker
+    log-probs decouple, so the gradient of their sum is the stack of
+    per-walker gradients — one backward pass for the ensemble.  Under
+    parameter sharding this differentiates the shard-local PARTIAL
+    log-prob (``model.log_prob_for_grad``): the local block's gradient
+    depends only on the local partial sum, and differentiating through
+    the psum would overcount by the axis size.
+
+    Note on caching: the current state's gradient could be carried
+    across steps (``where(accepted, g_q, g_x)``), saving one backward
+    pass — but move carries are replicated (not walker-sharded) in the
+    sharded step, and PT swap moves exchange coordinates between rungs
+    without touching carries, so a cached gradient would go stale there;
+    we recompute instead.
+    """
+    if not getattr(model, "grad_ok", True):
+        raise NotImplementedError(
+            "gradient moves need a differentiable log-prob; "
+            "host_callback=True wraps a non-traceable function with "
+            "jax.pure_callback, which has no JVP — use a JAX-traceable "
+            "log_prob_fn"
+        )
+    fn = model.log_prob_for_grad()
+
+    def neg_potential_sum(x):
+        lp, _ = fn(x)
+        return jnp.sum(lp)
+
+    return jax.grad(neg_potential_sum)
+
+
+class _GradientMove(ScaleTunable, Move):
     """Shared machinery: gradient of the batched log-prob, step-size
     carry, tuning, optional preconditioner."""
 
@@ -54,11 +86,19 @@ class _GradientMove(Move):
         self._L = None
         if cov is not None:
             try:
-                self._L = float(np.sqrt(float(cov)))
+                c = float(cov)
+                if not np.isfinite(c) or c <= 0:
+                    raise ValueError("cov must be positive and finite")
+                self._L = float(np.sqrt(c))
                 self._precond = "scalar"
             except TypeError:
-                cov = np.atleast_1d(np.asarray(cov))
+                cov = np.atleast_1d(np.asarray(cov, dtype=np.float64))
                 if cov.ndim == 1:
+                    if not np.all(np.isfinite(cov)) or np.any(cov <= 0):
+                        raise ValueError(
+                            "diagonal cov entries must be positive and "
+                            "finite"
+                        )
                     self._L = np.sqrt(cov)
                     self._precond = "diag"
                 elif cov.ndim == 2 and cov.shape[0] == cov.shape[1]:
@@ -90,44 +130,14 @@ class _GradientMove(Move):
             return v * jnp.asarray(self._L, dtype=v.dtype)
         return v @ jnp.asarray(self._L, dtype=v.dtype)
 
-    def init_carry(self, nwalkers, ndim):
-        if self.tune_target is None:
-            return ()
-        return {
-            "log_adj": jnp.zeros((), dtype=jnp.float32),
-            "t": jnp.zeros((), dtype=jnp.int32),
-        }
-
-    def tune(self, carry, state, accepted, model=None):
-        if self.tune_target is None:
-            return carry
-        return robbins_monro_tune(
-            carry, accepted, self.tune_target, self.tune_rate, model
-        )
+    # init_carry / tune come from the ScaleTunable mixin.
 
     def _eps(self, carry, dtype):
         eps = jnp.asarray(self.step_size, dtype=dtype)
-        if isinstance(carry, dict) and "log_adj" in carry:
-            eps = eps * jnp.exp(carry["log_adj"]).astype(dtype)
-        return eps
+        s = self._tuned_scale(carry, dtype)
+        return eps if s is None else eps * s
 
-    @staticmethod
-    def _grad_fn(model):
-        """d log-prob / d coords for the whole batch: the per-walker
-        log-probs decouple, so the gradient of their sum is the stack of
-        per-walker gradients — one backward pass for the ensemble.
-        Under parameter sharding this differentiates the shard-local
-        PARTIAL log-prob (``model.log_prob_for_grad``): the local block's
-        gradient depends only on the local partial sum, and
-        differentiating through the psum would overcount by the axis
-        size."""
-        fn = model.log_prob_for_grad()
-
-        def neg_potential_sum(x):
-            lp, _ = fn(x)
-            return jnp.sum(lp)
-
-        return jax.grad(neg_potential_sum)
+    _grad_fn = staticmethod(lambda model: _batch_grad(model))
 
     # Parameter-axis sharding: supported.  The gradient of the
     # psum-completed log-prob is shard-local (each shard's partial sum
@@ -365,8 +375,7 @@ class EnsembleMALAMove(RedBlueMove):
         if scale is not None:
             eps = eps * scale
 
-        fn = model.log_prob_for_grad()
-        grad = jax.grad(lambda x: jnp.sum(fn(x)[0]))
+        grad = _batch_grad(model)
 
         g_s = grad(s)
         z = jax.random.normal(key, (ns, nd), dtype=s.dtype)

@@ -34,12 +34,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .base import Move, robbins_monro_tune, tree_where
+from .base import Move, ScaleTunable, tree_where
 
 __all__ = ["RedBlueMove"]
 
 
-class RedBlueMove(Move):
+class RedBlueMove(ScaleTunable, Move):
     """Abstract parallelizable ensemble move.
 
     Args:
@@ -82,20 +82,7 @@ class RedBlueMove(Move):
         self.tune_target = tune_target
         self.tune_rate = float(tune_rate)
 
-    def init_carry(self, nwalkers, ndim):
-        if self.tune_target is None:
-            return ()
-        return {
-            "log_adj": jnp.zeros((), dtype=jnp.float32),
-            "t": jnp.zeros((), dtype=jnp.int32),
-        }
-
-    def tune(self, carry, state, accepted, model=None):
-        if self.tune_target is None:
-            return carry
-        return robbins_monro_tune(
-            carry, accepted, self.tune_target, self.tune_rate, model
-        )
+    # init_carry / tune come from the ScaleTunable mixin.
 
     def get_proposal(
         self, key, s, c_parts, model
@@ -143,11 +130,7 @@ class RedBlueMove(Move):
         extra_u = u_all[:, ng:] if n_extra else None
 
         # Traced scale multiplier from the tuning carry (see tune()).
-        scale = (
-            None
-            if self.tune_target is None
-            else jnp.exp(carry["log_adj"]).astype(dtype)
-        )
+        scale = self._tuned_scale(carry, dtype)
 
         if self.randomize_split:
             return self._propose_shuffled(

@@ -285,6 +285,7 @@ class EnsembleSampler:
             param_axis=self._param_axis,
             ndim=self.ndim,
             compute_log_prob_partial=partial_log_prob,
+            grad_ok=not self._lp_settings.get("host_callback", False),
         )
 
     # ------------------------------------------------------------------

@@ -279,3 +279,29 @@ def test_ensemble_mala_rejects_param_sharding():
     coords = np.random.default_rng(0).normal(size=(16, 4))
     with pytest.raises(NotImplementedError):
         s.run_mcmc(coords, 2)
+
+
+def test_gradient_move_rejects_host_callback():
+    """host_callback log-probs have no JVP; the error must be clear."""
+
+    def np_lp(x):
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    s = EnsembleSampler(
+        16, 2, np_lp, host_callback=True, moves=moves.MALAMove(0.5),
+        seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(16, 2))
+    with pytest.raises(NotImplementedError, match="differentiable"):
+        s.run_mcmc(coords, 2)
+
+
+def test_cov_validation():
+    with pytest.raises(ValueError):
+        moves.MALAMove(0.5, cov=-1.0)
+    with pytest.raises(ValueError):
+        moves.HMCMove(0.5, cov=np.array([1.0, -2.0]))
+    with pytest.raises(ValueError):
+        moves.MALAMove(0.5, cov=np.array([1.0, np.nan]))
+    with pytest.raises(np.linalg.LinAlgError):
+        moves.MALAMove(0.5, cov=-np.eye(2))  # non-PD matrix fails loudly
