@@ -3,7 +3,10 @@
 Public surface mirrors the reference (``/root/reference/src/emcee/moves/
 __init__.py:3-11``): ``Move``, ``RedBlueMove``, ``MHMove`` bases and the
 concrete ``StretchMove``, ``WalkMove``, ``DEMove``, ``DESnookerMove``,
-``KDEMove``, ``GaussianMove``.
+``KDEMove``, ``GaussianMove``.  Beyond the reference: ``SideMove``,
+``BlendedMove`` (fused mixtures), and the gradient-based family
+``MALAMove`` / ``HMCMove`` / ``EnsembleMALAMove`` (JAX autodiff — see
+``moves/gradient.py``).
 """
 
 from .base import Move

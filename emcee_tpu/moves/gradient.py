@@ -15,6 +15,10 @@ natural members of the move family:
   Hamiltonian difference.  ``n_leapfrog + 1`` gradient evaluations per
   step; mixes in far fewer steps than random-walk moves on smooth,
   high-dimensional targets.
+* :class:`EnsembleMALAMove` — affine-invariant Langevin: a red-blue
+  move whose MALA step is preconditioned by the complementary group's
+  sample covariance; the ensemble supplies the geometry, nothing to
+  tune.
 
 Both update the whole ensemble at once (no complement; embarrassingly
 parallel under walker sharding like :class:`~.mh.MHMove`), and both
