@@ -273,11 +273,12 @@ def test_pt_with_gradient_move():
     def log_prior(x):
         return -0.5 * jnp.sum(x**2) / 100.0  # smooth: grads everywhere
 
-    pt = PTSampler(
-        8, 32, 1, log_like, log_prior, seed=0, moves=_m.MALAMove(0.8)
-    )
     c0 = np.random.default_rng(0).normal(size=(8, 32, 1))
-    pt.run_mcmc(c0, 1500)
-    cold = np.asarray(pt.get_chain(temp=0, flat=True, discard=300))
-    frac_pos = float(np.mean(cold > 0))
-    assert 0.25 < frac_pos < 0.75, frac_pos
+    for mv in (_m.MALAMove(0.8), _m.EnsembleMALAMove(0.8)):
+        pt = PTSampler(
+            8, 32, 1, log_like, log_prior, seed=0, moves=mv
+        )
+        pt.run_mcmc(c0, 1500)
+        cold = np.asarray(pt.get_chain(temp=0, flat=True, discard=300))
+        frac_pos = float(np.mean(cold > 0))
+        assert 0.25 < frac_pos < 0.75, (type(mv).__name__, frac_pos)
