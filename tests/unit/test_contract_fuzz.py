@@ -1,0 +1,75 @@
+"""Randomized contract checks across sampler configurations.
+
+A bounded sweep over (nwalkers, ndim, moves, thinning, storage) asserting
+the invariants every configuration must satisfy: stored shapes, finite
+chains, acceptance within [0, 1], iteration bookkeeping, and
+resume-equals-continuation.  Complements the per-feature suites by
+exercising odd shape combinations none of them pick.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emcee_tpu import EnsembleSampler, State, backends, moves
+
+
+def lp(x):
+    return -0.5 * jnp.sum(x**2, axis=-1)
+
+
+CONFIGS = [
+    # (nwalkers, ndim, nsteps, thin_by, moves, backend factory)
+    (6, 1, 7, 1, None, backends.Backend),
+    (10, 2, 11, 2, moves.GaussianMove(0.5), backends.DeviceBackend),
+    (12, 3, 5, 3, moves.DEMove(), backends.Backend),
+    (30, 2, 9, 1, moves.WalkMove(), backends.DeviceBackend),
+    (14, 2, 8, 1, moves.MALAMove(0.8), backends.Backend),
+    (16, 2, 6, 2, moves.HMCMove(0.5, n_leapfrog=3), backends.Backend),
+    (18, 3, 10, 1, moves.EnsembleMALAMove(1.0), backends.DeviceBackend),
+    (20, 5, 7, 1, moves.StretchMove(nsplits=4), backends.Backend),
+    (
+        24, 2, 12, 1,
+        [(moves.StretchMove(), 0.5), (moves.MALAMove(0.9), 0.5)],
+        backends.DeviceBackend,
+    ),
+    (22, 2, 9, 1, moves.KDEMove(), backends.Backend),
+]
+
+
+@pytest.mark.parametrize(
+    "nw,nd,nsteps,thin_by,mv,be", CONFIGS,
+    ids=[f"cfg{i}" for i in range(len(CONFIGS))],
+)
+def test_contract(nw, nd, nsteps, thin_by, mv, be):
+    rng = np.random.default_rng(nw * 100 + nd)
+    s = EnsembleSampler(
+        nw, nd, lp, vectorize=True, moves=mv, backend=be(), seed=nd
+    )
+    p0 = rng.normal(size=(nw, nd))
+    state = s.run_mcmc(
+        State(jnp.asarray(p0), random_state=jax.random.key(nw)),
+        nsteps,
+        thin_by=thin_by,
+    )
+
+    chain = np.asarray(s.get_chain())
+    assert chain.shape == (nsteps, nw, nd)
+    assert np.all(np.isfinite(chain))
+    lp_stored = np.asarray(s.get_log_prob())
+    assert lp_stored.shape == (nsteps, nw)
+    np.testing.assert_allclose(
+        lp_stored, -0.5 * np.sum(chain**2, axis=-1), rtol=5e-4, atol=1e-5
+    )
+    acc = np.asarray(s.acceptance_fraction)
+    assert np.all((acc >= 0) & (acc <= 1))
+    assert s.iteration == nsteps
+    np.testing.assert_array_equal(
+        np.asarray(state.coords), chain[-1]
+    )
+
+    # Continuation adds exactly the requested rows, finitely.
+    s.run_mcmc(None, 3, thin_by=thin_by)
+    assert s.iteration == nsteps + 3
+    assert np.all(np.isfinite(np.asarray(s.get_chain())))
