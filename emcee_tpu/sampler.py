@@ -15,7 +15,11 @@ backend resume), but the execution model is redesigned for XLA:
   state pytree;
 * chain storage crosses the device->host boundary once per *chunk* (async
   device_get overlapped with the next chunk's compute) instead of once per
-  step (``backend.save_step``, ``ensemble.py:417``);
+  step (``backend.save_step``, ``ensemble.py:417``) — or not at all with
+  the HBM-resident :class:`~.backends.DeviceBackend`;
+* move mixtures dispatch per proposal by default; ``mixture_block=B``
+  draws the move once per block of ``B`` kept steps so blocks run as
+  pure-move scans (no per-proposal ``lax.switch``);
 * with a ``jax.sharding.Mesh``, the whole scan runs under ``shard_map`` with
   walkers sharded over the mesh axis; red-blue moves all-gather the
   complementary half over ICI, and everything else stays shard-local.
