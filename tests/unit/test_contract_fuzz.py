@@ -35,6 +35,7 @@ CONFIGS = [
         backends.DeviceBackend,
     ),
     (22, 2, 9, 1, moves.KDEMove(), backends.Backend),
+    (16, 2, 8, 1, moves.DESnookerMove(), backends.Backend),  # nsplits=4
 ]
 
 
