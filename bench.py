@@ -226,6 +226,50 @@ def main():
     dev_proposals_per_sec = kept * thin_by / dt_dev
     ess_per_sec = nwalkers * dev_proposals_per_sec / tau_max
 
+    # Gradient-move headline (beyond the BASELINE-prescribed StretchMove):
+    # MALA on the same target.  Two fused gradient evaluations per step
+    # cost ~1.5x a stretch step while tau drops ~15x, so this is the
+    # framework's best effective-samples rate; reported as an extra key.
+    _phase("mala stage start")
+    from emcee_tpu.backends import DeviceBackend as _DevBE
+
+    mala = EnsembleSampler(
+        nwalkers,
+        ndim,
+        log_prob,
+        vectorize=True,
+        seed=2,
+        prng="rbg",
+        moves=moves.MALAMove(1.0),
+        scan_unroll=8,
+        backend=_DevBE(),
+        io_chunk_bytes=1 << 30,
+    )
+    m_state = mala._prepare_state(
+        State(coords, random_state=jax.random.key(3, impl="rbg")), True
+    )
+    m_car = mala._init_carries()
+    m_run = mala._get_run_chunk(512, 1, False, False, None)
+    m_st, m_car, _ = m_run(m_state, m_car)
+    float(jnp.sum(m_st.log_prob))
+    _phase("mala compiled+warm")
+    dt_m = float("inf")
+    for _ in range(2):
+        t3 = time.perf_counter()
+        for _ in range(2):
+            m_st, m_car, _ = m_run(m_st, m_car)
+        float(jnp.sum(m_st.log_prob))
+        dt_m = min(dt_m, time.perf_counter() - t3)
+    mala_steps_per_sec = 2 * 512 / dt_m
+    # tau from a short device-stored chain (MALA tau ~ 3 proposals, so
+    # 240 proposals span ~80 tau — ample for the Sokal window).
+    mala.run_mcmc(m_st, 120, thin_by=2, skip_initial_state_check=True)
+    m_chain = np.asarray(mala.get_chain())
+    tau_mala = float(np.max(_np_integrated_time(m_chain))) * 2
+    tau_mala = max(tau_mala, 1.0)
+    ess_mala = nwalkers * mala_steps_per_sec / tau_mala
+    _phase("mala stage done")
+
     print(
         json.dumps(
             {
@@ -236,6 +280,11 @@ def main():
                     walker_steps_per_sec / BASELINE_WALKER_STEPS_PER_SEC, 2
                 ),
                 "ess_per_sec": round(ess_per_sec, 1),
+                "ess_per_sec_mala": round(ess_mala, 1),
+                "mala_walker_steps_per_sec": round(
+                    nwalkers * mala_steps_per_sec, 1
+                ),
+                "mala_tau_proposals": round(tau_mala, 2),
                 "ess_storage": "device-HBM (DeviceBackend)",
                 "ess_per_sec_host_stream": round(ess_host_stream, 1),
                 "ess_tau_max_proposals": round(tau_max, 2),
