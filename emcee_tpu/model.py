@@ -203,6 +203,10 @@ def wrap_log_prob_fn(
             )
             return lp, None
 
+        # pure_callback has no JVP: gradient moves check this marker so
+        # every Model builder (sampler, kernels, tempering) inherits the
+        # clear error without re-plumbing a flag.
+        batched._no_grad = True
         return batched
 
     if vectorize:

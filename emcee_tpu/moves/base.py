@@ -86,7 +86,7 @@ class ScaleTunable:
 
     @staticmethod
     def _tuned_scale(carry, dtype):
-        """The carry's scale multiplier (1 when untuned)."""
+        """The carry's scale multiplier, or None when untuned."""
         if isinstance(carry, dict) and "log_adj" in carry:
             return jnp.exp(carry["log_adj"]).astype(dtype)
         return None

@@ -53,7 +53,13 @@ def _batch_grad(model):
     without touching carries, so a cached gradient would go stale there;
     we recompute instead.
     """
-    if not getattr(model, "grad_ok", True):
+    fn_probe = (
+        getattr(model, "compute_log_prob_partial", None)
+        or model.compute_log_prob
+    )
+    if not getattr(model, "grad_ok", True) or getattr(
+        fn_probe, "_no_grad", False
+    ):
         raise NotImplementedError(
             "gradient moves need a differentiable log-prob; "
             "host_callback=True wraps a non-traceable function with "
@@ -106,7 +112,11 @@ class _GradientMove(ScaleTunable, Move):
                     self._L = np.sqrt(cov)
                     self._precond = "diag"
                 elif cov.ndim == 2 and cov.shape[0] == cov.shape[1]:
+                    if not np.all(np.isfinite(cov)):
+                        raise ValueError("cov entries must be finite")
                     self._L = np.linalg.cholesky(cov)
+                    if not np.all(np.isfinite(self._L)):
+                        raise ValueError("cov must be positive definite")
                     self._precond = "full"
                 else:
                     raise ValueError("Invalid cov dimensions")
@@ -140,8 +150,6 @@ class _GradientMove(ScaleTunable, Move):
         eps = jnp.asarray(self.step_size, dtype=dtype)
         s = self._tuned_scale(carry, dtype)
         return eps if s is None else eps * s
-
-    _grad_fn = staticmethod(lambda model: _batch_grad(model))
 
     # Parameter-axis sharding: supported.  The gradient of the
     # psum-completed log-prob is shard-local (each shard's partial sum
@@ -186,7 +194,7 @@ class MALAMove(_GradientMove):
         nw, nd = state.coords.shape
         x = state.coords
         eps = self._eps(carry, x.dtype)
-        grad = self._grad_fn(model)
+        grad = _batch_grad(model)
 
         k_noise, k_acc = jax.random.split(key)
         k_noise = model.fold_walker(k_noise)
@@ -270,7 +278,7 @@ class HMCMove(_GradientMove):
         nw, nd = state.coords.shape
         x = state.coords
         eps = self._eps(carry, x.dtype)
-        grad = self._grad_fn(model)
+        grad = _batch_grad(model)
 
         k_mom, k_acc, k_jit = jax.random.split(key, 3)
         k_mom = model.fold_walker(k_mom)

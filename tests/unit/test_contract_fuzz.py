@@ -2,8 +2,7 @@
 
 A bounded sweep over (nwalkers, ndim, moves, thinning, storage) asserting
 the invariants every configuration must satisfy: stored shapes, finite
-chains, acceptance within [0, 1], iteration bookkeeping, and
-resume-equals-continuation.  Complements the per-feature suites by
+chains, acceptance within [0, 1], iteration bookkeeping, and that continuation appends finite rows.  Complements the per-feature suites by
 exercising odd shape combinations none of them pick.
 """
 
