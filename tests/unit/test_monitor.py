@@ -117,3 +117,32 @@ def test_run_until_converged_device_backend():
     # converged well before max_steps (tau ~ 10 for stretch on 2-D)
     assert s.iteration < 30_000
     assert isinstance(s.get_chain(), jax.Array)
+
+
+def test_kernel_api_with_gradient_move():
+    """build_kernel drives a MALA step inside a user lax.scan."""
+    from emcee_tpu.kernels import build_kernel
+    from emcee_tpu import moves
+
+    nw, nd = 32, 2
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    init, step = build_kernel(lp, nwalkers=nw, move=moves.MALAMove(1.0))
+    coords = jnp.asarray(
+        np.random.default_rng(0).normal(size=(nw, nd))
+    )
+    state, carry = init(coords, jax.random.key(1))
+
+    def body(c, _):
+        state, carry = c
+        state, accepted, carry = step(state, carry)
+        return (state, carry), accepted
+
+    (state, carry), acc = jax.lax.scan(
+        body, (state, carry), None, length=300
+    )
+    chain_std = float(jnp.std(state.coords))
+    assert 0.6 < chain_std < 1.5, chain_std
+    assert 0.2 < float(jnp.mean(acc)) < 0.95
