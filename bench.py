@@ -231,8 +231,6 @@ def main():
     # cost ~1.5x a stretch step while tau drops ~15x, so this is the
     # framework's best effective-samples rate; reported as an extra key.
     _phase("mala stage start")
-    from emcee_tpu.backends import DeviceBackend as _DevBE
-
     mala = EnsembleSampler(
         nwalkers,
         ndim,
@@ -242,31 +240,34 @@ def main():
         prng="rbg",
         moves=moves.MALAMove(1.0),
         scan_unroll=8,
-        backend=_DevBE(),
+        backend=DeviceBackend(),
         io_chunk_bytes=1 << 30,
     )
-    m_state = mala._prepare_state(
-        State(coords, random_state=jax.random.key(3, impl="rbg")), True
+    # Same measurement basis as ess_per_sec above: timed through run_mcmc
+    # with DeviceBackend storage (the save is a device-array append; the
+    # chain stays in HBM).  The warm-up run doubles as the tau source —
+    # MALA tau ~ 3 proposals, so 120 kept rows x thin 2 span ~80 tau.
+    m_kept, m_thin = 500, 2
+    m_st = mala.run_mcmc(
+        State(coords, random_state=jax.random.key(3, impl="rbg")),
+        m_kept,
+        thin_by=m_thin,
+        skip_initial_state_check=True,
     )
-    m_car = mala._init_carries()
-    m_run = mala._get_run_chunk(512, 1, False, False, None)
-    m_st, m_car, _ = m_run(m_state, m_car)
-    float(jnp.sum(m_st.log_prob))
     _phase("mala compiled+warm")
+    m_chain = np.asarray(mala.get_chain()[:120])  # pull only what tau needs
+    tau_mala = max(float(np.max(_np_integrated_time(m_chain))) * m_thin, 1.0)
+    _phase("mala tau done")
     dt_m = float("inf")
     for _ in range(2):
+        mala.backend.reset(nwalkers, ndim)
         t3 = time.perf_counter()
-        for _ in range(2):
-            m_st, m_car, _ = m_run(m_st, m_car)
+        m_st = mala.run_mcmc(
+            m_st, m_kept, thin_by=m_thin, skip_initial_state_check=True
+        )
         float(jnp.sum(m_st.log_prob))
         dt_m = min(dt_m, time.perf_counter() - t3)
-    mala_steps_per_sec = 2 * 512 / dt_m
-    # tau from a short device-stored chain (MALA tau ~ 3 proposals, so
-    # 240 proposals span ~80 tau — ample for the Sokal window).
-    mala.run_mcmc(m_st, 120, thin_by=2, skip_initial_state_check=True)
-    m_chain = np.asarray(mala.get_chain())
-    tau_mala = float(np.max(_np_integrated_time(m_chain))) * 2
-    tau_mala = max(tau_mala, 1.0)
+    mala_steps_per_sec = m_kept * m_thin / dt_m
     ess_mala = nwalkers * mala_steps_per_sec / tau_mala
     _phase("mala stage done")
 
@@ -281,6 +282,8 @@ def main():
                 ),
                 "ess_per_sec": round(ess_per_sec, 1),
                 "ess_per_sec_mala": round(ess_mala, 1),
+                "ess_mala_basis": "run_mcmc through DeviceBackend, "
+                "same as ess_per_sec",
                 "mala_walker_steps_per_sec": round(
                     nwalkers * mala_steps_per_sec, 1
                 ),
