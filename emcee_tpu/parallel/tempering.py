@@ -945,19 +945,71 @@ class PTSampler:
         x = self.get_chain(discard=discard, thin=thin, temp=temp)
         return thin * autocorr.integrated_time(x, **kwargs)
 
-    def log_evidence_estimate(self, discard=0):
-        """Thermodynamic-integration ln-evidence estimate.
+    def log_evidence_estimate(
+        self, discard=0, method="ti", return_error=False
+    ):
+        """ln-evidence estimate from the stored tempered chains.
 
-        Trapezoid rule over the ladder of mean log-likelihoods (the
-        stepping-stone of ptemcee's ``log_evidence_estimate``).
+        Args:
+            discard: burn-in rows to drop.
+            method: ``"ti"`` (default) — trapezoid thermodynamic
+                integration of the ladder of mean log-likelihoods (the
+                estimator of ptemcee's ``log_evidence_estimate``);
+                ``"stepping-stone"`` — Xie et al. (2011): chain the
+                per-rung importance ratios
+                ``Z(b_{k+1})/Z(b_k) = E_{b_k}[L^(b_{k+1}-b_k)]``, each
+                a logsumexp over that rung's stored samples.  Lower
+                discretization bias than TI on coarse ladders, at the
+                cost of using sample maxima (needs a few hundred stored
+                rows per rung to settle).
+            return_error: also return a ladder-resolution uncertainty:
+                ``|lnZ(full ladder) - lnZ(every other rung)|``
+                (ptemcee's convention).
+
+        Both methods need the ladder to reach small beta; the segment
+        below the hottest stored rung (``[0, beta_min)``) is closed with
+        the flat extension ``beta_min * mean_ll[hottest]``, exact in the
+        ``beta_min -> 0`` limit (the default geometric ladder puts
+        ``beta_min ~ ratio**-(T-1)``, negligible for T ≳ 10).
+
+        Returns:
+            ``lnz`` or, with ``return_error``, ``(lnz, dlnz)``.
         """
-        ll = self.get_log_like(discard=discard)  # (it, T, nw)
-        mean_ll = ll.mean(axis=(0, 2))  # (T,)
+        ll = np.asarray(self.get_log_like(discard=discard))  # (it, T, nw)
         betas = self.betas
         order = np.argsort(betas)
-        b, m = betas[order], mean_ll[order]
-        if b[0] > 0:  # integrate down to beta=0 by extending flat
-            b = np.concatenate([[0.0], b])
-            m = np.concatenate([[m[0]], m])
-        lnz = np.trapezoid(m, b)
-        return lnz
+        b = betas[order]
+        ll = ll[:, order, :]
+
+        def _estimate(b, ll):
+            mean_ll = ll.mean(axis=(0, 2))  # (T,)
+            tail = b[0] * mean_ll[0] if b[0] > 0 else 0.0
+            if method == "ti":
+                return np.trapezoid(mean_ll, b) + tail
+            if method == "stepping-stone":
+                # ln E_{b_k}[L^(b_{k+1}-b_k)] via logsumexp over the
+                # (it * nw) samples stored at rung k.
+                samples = ll.transpose(1, 0, 2).reshape(ll.shape[1], -1)
+                lnz = tail
+                for k in range(len(b) - 1):
+                    w = (b[k + 1] - b[k]) * samples[k]
+                    wmax = np.max(w)
+                    lnz += (
+                        wmax
+                        + np.log(np.mean(np.exp(w - wmax)))
+                    )
+                return lnz
+            raise ValueError(
+                f"unknown evidence method {method!r}; "
+                "use 'ti' or 'stepping-stone'"
+            )
+
+        lnz = _estimate(b, ll)
+        if not return_error:
+            return lnz
+        # Half-resolution ladder, keeping the coldest (beta=1) rung:
+        # every other rung counted from the top.
+        keep = np.zeros(len(b), dtype=bool)
+        keep[len(b) - 1 :: -2] = True
+        lnz2 = _estimate(b[keep], ll[:, keep, :])
+        return lnz, abs(lnz - lnz2)

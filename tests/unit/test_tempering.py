@@ -143,6 +143,18 @@ def test_log_evidence_gaussian():
     lnz = pt.log_evidence_estimate(discard=1000)
     true = np.log(np.sqrt(2 * np.pi) / 20.0)
     assert abs(lnz - true) < 0.25
+    # Stepping-stone (Xie et al. 2011) on the same stored chains: lower
+    # discretization bias than TI, so at least as close here.
+    lnz_ss = pt.log_evidence_estimate(discard=1000, method="stepping-stone")
+    assert abs(lnz_ss - true) < 0.25
+    # Error estimate: half-ladder discrepancy — conservative (the
+    # 6-rung half of this ratio-2.4 ladder is very coarse), but finite
+    # and of the right order.
+    lnz2, dlnz = pt.log_evidence_estimate(discard=1000, return_error=True)
+    assert lnz2 == lnz
+    assert 0.0 <= dlnz < 1.0
+    with pytest.raises(ValueError):
+        pt.log_evidence_estimate(method="harmonic")
 
 
 def test_pt_sample_generator():
