@@ -4,9 +4,10 @@ Public surface mirrors the reference (``/root/reference/src/emcee/moves/
 __init__.py:3-11``): ``Move``, ``RedBlueMove``, ``MHMove`` bases and the
 concrete ``StretchMove``, ``WalkMove``, ``DEMove``, ``DESnookerMove``,
 ``KDEMove``, ``GaussianMove``.  Beyond the reference: ``SideMove``,
-``BlendedMove`` (fused mixtures), and the gradient-based family
-``MALAMove`` / ``HMCMove`` / ``EnsembleMALAMove`` (JAX autodiff — see
-``moves/gradient.py``).
+``BlendedMove`` (fused mixtures), ``EnsembleSliceMove`` (zeus-style
+rejection-free slice sampling — see ``moves/slice.py``), and the
+gradient-based family ``MALAMove`` / ``HMCMove`` / ``EnsembleMALAMove``
+(JAX autodiff — see ``moves/gradient.py``).
 """
 
 from .base import Move
@@ -15,6 +16,7 @@ from .de import DEMove
 from .de_snooker import DESnookerMove
 from .gradient import EnsembleMALAMove, HMCMove, MALAMove
 from .side import SideMove
+from .slice import EnsembleSliceMove
 from .gaussian import GaussianMove
 from .kde import KDEMove
 from .mh import MHMove
@@ -33,6 +35,7 @@ __all__ = [
     "DEMove",
     "DESnookerMove",
     "SideMove",
+    "EnsembleSliceMove",
     "BlendedMove",
     "MALAMove",
     "HMCMove",
