@@ -69,6 +69,10 @@ def main():
         ),
         "de": de,
         "snooker": sn,
+        # Rejection-free slice sampling (zeus parity): several log-prob
+        # evals per kept step, repaid in mixing time — compare ESS/s,
+        # not raw walker-steps/s.
+        "slice": moves.EnsembleSliceMove(randomize_split=False),
     }[args.config]
 
     sampler = EnsembleSampler(

@@ -974,6 +974,12 @@ class PTSampler:
 
         Returns:
             ``lnz`` or, with ``return_error``, ``(lnz, dlnz)``.
+
+        Note:
+            Both estimators weight stored samples by the *current*
+            ladder ``self.betas``.  After an ``adaptive=True`` run, set
+            ``discard`` past the adaptation phase so the kept samples
+            were actually drawn at (approximately) those betas.
         """
         ll = np.asarray(self.get_log_like(discard=discard))  # (it, T, nw)
         betas = self.betas
