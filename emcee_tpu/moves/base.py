@@ -30,30 +30,38 @@ __all__ = [
     "ScaleTunable",
     "accept_update",
     "tree_where",
+    "robbins_monro_step",
     "robbins_monro_tune",
 ]
 
 
-def robbins_monro_tune(carry, accepted, target, rate, model=None):
-    """Shared Robbins-Monro acceptance-targeting update.
-
-    Nudges ``carry["log_adj"]`` toward the acceptance rate ``target`` with
-    a ``rate / sqrt(1 + t)`` step (diminishing adaptation).  The rate is
-    averaged over the *global* ensemble: under walker sharding a
-    shard-local mean would adapt each shard's copy of the (replicated)
-    carry differently, corrupting the tuned scale.
-    """
+def robbins_monro_step(carry, err, rate):
+    """One Robbins-Monro update of the ``{log_adj, t}`` carry: nudge
+    ``log_adj`` by ``err`` with a ``rate / sqrt(1 + t)`` step
+    (diminishing adaptation).  The decay schedule and clip bounds live
+    here so every tuning signal (acceptance-rate targeting below,
+    expansion-balance in the slice move) shares one implementation."""
     t = carry["t"]
     lr = rate / jnp.sqrt(1.0 + t.astype(jnp.float32))
-    acc_rate = jnp.mean(accepted.astype(jnp.float32))
-    if model is not None and model.axis_name is not None:
-        acc_rate = jax.lax.pmean(acc_rate, model.axis_name)
-    err = acc_rate - target
     return {
         **carry,
         "log_adj": jnp.clip(carry["log_adj"] + lr * err, -10.0, 10.0),
         "t": t + 1,
     }
+
+
+def robbins_monro_tune(carry, accepted, target, rate, model=None):
+    """Shared Robbins-Monro acceptance-targeting update.
+
+    Nudges ``carry["log_adj"]`` toward the acceptance rate ``target``.
+    The rate is averaged over the *global* ensemble: under walker
+    sharding a shard-local mean would adapt each shard's copy of the
+    (replicated) carry differently, corrupting the tuned scale.
+    """
+    acc_rate = jnp.mean(accepted.astype(jnp.float32))
+    if model is not None and model.axis_name is not None:
+        acc_rate = jax.lax.pmean(acc_rate, model.axis_name)
+    return robbins_monro_step(carry, acc_rate - target, rate)
 
 
 class ScaleTunable:

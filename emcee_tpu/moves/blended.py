@@ -66,6 +66,13 @@ class BlendedMove(RedBlueMove):
                     "BlendedMove blends red-blue moves only; got "
                     f"{type(m).__name__}"
                 )
+            if not m.blendable:
+                raise ValueError(
+                    f"{type(m).__name__} cannot be blended: its update "
+                    "is not a (q, factors) proposal sharing one "
+                    "log-prob evaluation — use it in a sampler-level "
+                    "move mixture instead"
+                )
         nsplits = {m.nsplits for m in self._moves}
         if len(nsplits) != 1:
             raise ValueError(

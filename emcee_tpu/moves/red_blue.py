@@ -68,6 +68,10 @@ class RedBlueMove(ScaleTunable, Move):
 
     #: subclasses that accept the ``scale`` keyword opt in.
     tunable = False
+    #: False for moves whose update is not a (q, factors) proposal
+    #: (e.g. the slice move) — they cannot participate in BlendedMove's
+    #: shared-evaluation blending.
+    blendable = True
 
     def __init__(self, nsplits=2, randomize_split=True, live_dangerously=False,
                  tune_target=None, tune_rate=0.2):

@@ -38,7 +38,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .base import tree_where
+from .base import robbins_monro_step, tree_where
 from .red_blue import RedBlueMove
 
 __all__ = ["EnsembleSliceMove"]
@@ -51,9 +51,12 @@ class EnsembleSliceMove(RedBlueMove):
         mu: direction-scale multiplier on the walker-difference vector
             (the initial slice window is ``|mu * (c_i - c_j)|`` long).
             1.0 is the zeus default and right for near-Gaussian targets.
-        max_steps: cap on stepping-out expansions per walker per
-            half-step (safety bound; the loop exits as soon as every
-            walker's interval brackets its slice).
+        max_steps: total stepping-out expansion budget per walker per
+            half-step, apportioned randomly between the two ends
+            (Neal 2003's ``J ~ U{0..m-1}, K = m-1-J`` scheme, which
+            keeps the update exact even when the budget binds); the
+            loop exits as soon as every walker's interval brackets its
+            slice.
         max_shrink: cap on shrinkage iterations (shrinkage converges
             geometrically, so the cap is effectively unreachable; a
             walker that somehow hits it stays put and is reported
@@ -75,6 +78,7 @@ class EnsembleSliceMove(RedBlueMove):
     """
 
     tunable = True  # reuse the carry->scale plumbing for the tuned mu.
+    blendable = False  # no (q, factors) proposal to share an eval with.
 
     def __init__(self, mu=1.0, max_steps=100, max_shrink=100,
                  tune_mu=False, **kwargs):
@@ -128,16 +132,10 @@ class EnsembleSliceMove(RedBlueMove):
     def tune(self, carry, state, accepted, model=None):
         if not self.tune_mu or not isinstance(carry, dict):
             return carry
-        t = carry["t"]
-        lr = self.tune_rate / jnp.sqrt(1.0 + t.astype(jnp.float32))
         # frac_expand > 1/2 means the initial window is too narrow
         # (expansions dominate) -> grow mu, and vice versa.
         err = 2.0 * (carry["frac_expand"] - 0.5)
-        return {
-            **carry,
-            "log_adj": jnp.clip(carry["log_adj"] + lr * err, -10.0, 10.0),
-            "t": t + 1,
-        }
+        return robbins_monro_step(carry, err, self.tune_rate)
 
     # -- the slice update ------------------------------------------------
     # Overrides the propose/evaluate/accept body: slice sampling is not a
@@ -171,7 +169,7 @@ class EnsembleSliceMove(RedBlueMove):
         if scale is not None:
             mu = mu * scale
 
-        k_i, k_j, k_off, k_shrink = jax.random.split(k, 4)
+        k_i, k_j, k_off, k_budget, k_shrink = jax.random.split(k, 5)
         i = jax.random.randint(k_i, (ns,), 0, nc)
         j = jax.random.randint(k_j, (ns,), 0, nc - 1)
         j = jnp.where(j >= i, j + 1, j)  # uniform ordered pairs, i != j
@@ -181,32 +179,47 @@ class EnsembleSliceMove(RedBlueMove):
         # pre-drawn per-walker log-uniform.
         y = lp_s + log_u
 
-        def lp_at(t):
-            lp, _ = model.compute_log_prob(s + t[:, None] * eta)
-            return lp
+        # Does the model produce blobs?  (Trace-time probe, no FLOPs.)
+        # Same error contract as the rest of the red-blue family when
+        # the state arrived without them.
+        _, blobs_shape = jax.eval_shape(model.compute_log_prob, s)
+        has_blobs = blobs_shape is not None
+        if has_blobs and blobs_s is None:
+            raise ValueError(
+                "If you start sampling with a given log_prob, you "
+                "also need to provide the current list of blobs at "
+                "that position."
+            )
 
         # Stepping out (Neal 2003, w = 1 in t-units = one eta length):
         # initial window [L, L+1] containing t=0, expand each end while
-        # it still lies inside the slice.  One batched evaluation of
+        # it still lies inside the slice.  The total expansion budget
+        # max_steps is apportioned randomly between the ends
+        # (J ~ U{0..m-1} left, m-1-J right) so the update stays exact
+        # (reversible) even when the budget binds — a deterministic cap
+        # would center bound intervals on the current point and bias
+        # wide-slice (heavy-tail) regions.  One batched evaluation of
         # both stacked endpoints per iteration.
         u0 = jax.random.uniform(k_off, (ns,), dtype=dtype)
         L0 = -u0
         R0 = L0 + 1.0
+        jL = jax.random.randint(k_budget, (ns,), 0, self.max_steps)
+        jR = (self.max_steps - 1) - jL
 
         def out_cond(st):
-            _, _, expL, expR, _, it = st
+            _, _, expL, expR, _, _, _, it = st
             return (it < self.max_steps) & (
                 jnp.any(expL) | jnp.any(expR)
             )
 
         def out_body(st):
-            L, R, expL, expR, nexp, it = st
+            L, R, expL, expR, cntL, cntR, nexp, it = st
             both = jnp.concatenate(
                 [s + L[:, None] * eta, s + R[:, None] * eta], axis=0
             )
             lp2, _ = model.compute_log_prob(both)
-            inL = expL & (lp2[:ns] > y)
-            inR = expR & (lp2[ns:] > y)
+            inL = expL & (lp2[:ns] > y) & (cntL < jL)
+            inR = expR & (lp2[ns:] > y) & (cntR < jR)
             nexp = (
                 nexp
                 + jnp.sum(inL, dtype=jnp.float32)
@@ -217,55 +230,71 @@ class EnsembleSliceMove(RedBlueMove):
                 jnp.where(inR, R + 1.0, R),
                 inL,
                 inR,
+                cntL + inL.astype(cntL.dtype),
+                cntR + inR.astype(cntR.dtype),
                 nexp,
                 it + 1,
             )
 
         expand0 = jnp.ones((ns,), dtype=bool)
-        L, R, _, _, nexp, _ = jax.lax.while_loop(
+        cnt0 = jnp.zeros((ns,), dtype=jnp.int32)
+        L, R, _, _, _, _, nexp, _ = jax.lax.while_loop(
             out_cond,
             out_body,
-            (L0, R0, expand0, expand0, jnp.zeros((), jnp.float32),
-             jnp.zeros((), jnp.int32)),
+            (L0, R0, expand0, expand0, cnt0, cnt0,
+             jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
         )
 
         # Shrinkage: sample t ~ U(L, R); accept if inside the slice,
         # otherwise move the violated end to t.  Converges geometrically
         # (t=0 is always acceptable), so every walker lands well before
-        # max_shrink.
+        # max_shrink.  The accepted draw's log-prob AND blobs ride the
+        # loop carry — no extra evaluation afterwards.
+        blobs0 = blobs_s if has_blobs else None
+
         def shr_cond(st):
-            _, _, _, _, _, done, _, it = st
+            _, _, _, _, _, _, done, _, it = st
             return (it < self.max_shrink) & jnp.any(~done)
 
         def shr_body(st):
-            key, L, R, t_acc, lp_acc, done, ncon, it = st
+            key, L, R, t_acc, lp_acc, blobs_acc, done, ncon, it = st
             key, sub = jax.random.split(key)
             u = jax.random.uniform(sub, (ns,), dtype=dtype)
             t = L + u * (R - L)
-            lp_t = lp_at(t)
+            lp_t, blobs_t = model.compute_log_prob(
+                s + t[:, None] * eta
+            )
             ok = lp_t > y
             newly = ok & ~done
             t_acc = jnp.where(newly, t, t_acc)
             lp_acc = jnp.where(newly, lp_t, lp_acc)
+            if has_blobs:
+                blobs_acc = tree_where(newly, blobs_t, blobs_acc)
             miss = ~ok & ~done
             ncon = ncon + jnp.sum(miss, dtype=jnp.float32)
             L = jnp.where(miss & (t < 0), t, L)
             R = jnp.where(miss & (t >= 0), t, R)
-            return key, L, R, t_acc, lp_acc, done | ok, ncon, it + 1
+            return (
+                key, L, R, t_acc, lp_acc, blobs_acc, done | ok, ncon,
+                it + 1,
+            )
 
-        _, _, _, t_acc, lp_acc, done, ncon, _ = jax.lax.while_loop(
-            shr_cond,
-            shr_body,
-            (
-                k_shrink,
-                L,
-                R,
-                jnp.zeros((ns,), dtype=dtype),
-                lp_s,
-                jnp.zeros((ns,), dtype=bool),
-                jnp.zeros((), jnp.float32),
-                jnp.zeros((), jnp.int32),
-            ),
+        (_, _, _, t_acc, lp_acc, sel_blobs, done, ncon, _) = (
+            jax.lax.while_loop(
+                shr_cond,
+                shr_body,
+                (
+                    k_shrink,
+                    L,
+                    R,
+                    jnp.zeros((ns,), dtype=dtype),
+                    lp_s,
+                    blobs0,
+                    jnp.zeros((ns,), dtype=bool),
+                    jnp.zeros((), jnp.float32),
+                    jnp.zeros((), jnp.int32),
+                ),
+            )
         )
 
         if self._trace_stats is not None:
@@ -273,13 +302,6 @@ class EnsembleSliceMove(RedBlueMove):
 
         q = jnp.where(done[:, None], s + t_acc[:, None] * eta, s)
         sel_lp = jnp.where(done, lp_acc, lp_s)
-        sel_blobs = blobs_s
-        if blobs_s is not None:
-            # Blobs are produced by the log-prob call; one final batched
-            # evaluation at the landed points recovers them (the slice
-            # loop discards blob outputs — XLA dead-code-eliminates
-            # their computation inside the loops).
-            lp_q, new_blobs = model.compute_log_prob(q)
-            sel_lp = jnp.where(done, lp_q, lp_s)
-            sel_blobs = tree_where(done, new_blobs, blobs_s)
+        if not has_blobs:
+            sel_blobs = blobs_s
         return q, sel_lp, sel_blobs, done

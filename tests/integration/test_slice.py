@@ -97,6 +97,52 @@ def test_slice_rejects_tune_target():
         moves.EnsembleSliceMove(mu=-1.0)
 
 
+def test_slice_rejects_blending():
+    """Slice has no (q, factors) proposal, so BlendedMove must refuse it
+    at construction rather than crash at trace time."""
+    with pytest.raises(ValueError, match="cannot be blended"):
+        moves.BlendedMove(
+            [moves.EnsembleSliceMove(), moves.StretchMove()]
+        )
+
+
+def test_slice_blob_values_track_chain():
+    """Blobs ride the shrink-loop carry: stored blob == f(stored coords)
+    at every step (regression for the landed-point blob recovery)."""
+
+    def lpb(x):
+        return -0.5 * jnp.sum(x**2), jnp.sum(x)
+
+    s = emcee_tpu.EnsembleSampler(
+        16, 2, lpb, moves=moves.EnsembleSliceMove(), seed=0
+    )
+    p0 = np.random.default_rng(1).normal(size=(16, 2))
+    s.run_mcmc(p0, 30)
+    ch = np.asarray(s.get_chain())
+    bl = np.asarray(s.get_blobs())
+    assert np.allclose(bl, ch.sum(axis=-1), atol=1e-5)
+
+
+def test_slice_tight_budget_heavy_tail_exact():
+    """Apportioned stepping-out (Neal's J/K split) keeps the update
+    exact when the expansion budget binds: a Cauchy target sampled with
+    max_steps=4 still gets its tail mass right."""
+
+    def lp_cauchy(x):
+        return -jnp.sum(jnp.log1p(x**2))
+
+    s = emcee_tpu.EnsembleSampler(
+        64, 1, lp_cauchy,
+        moves=moves.EnsembleSliceMove(max_steps=4), seed=2,
+    )
+    p0 = np.random.default_rng(2).standard_cauchy(size=(64, 1))
+    p0 = p0.clip(-50, 50)
+    s.run_mcmc(p0, 3000)
+    samps = np.asarray(s.get_chain(discard=500, flat=True)).ravel()
+    assert abs(np.median(samps)) < 0.1
+    assert abs((np.abs(samps) > 1.0).mean() - 0.5) < 0.05
+
+
 def test_slice_in_mixture():
     """Weighted mixture with a Metropolis move through lax.switch."""
 
