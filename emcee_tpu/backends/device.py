@@ -53,6 +53,27 @@ class _DeviceChunkStore:
         self._chunks = []
         self._acc_cache = None
 
+    # -- lazy RNG-key conversion -------------------------------------
+    # save_chunk receives the post-chunk device key; converting it with
+    # np.asarray there forces a host<->device sync per chunk (~25 ms per
+    # roundtrip on a tunneled runtime — it was the single largest
+    # per-call cost of the device-resident store path).  Keep the raw
+    # key and convert on first read instead.
+
+    @property
+    def random_state(self):
+        raw = getattr(self, "_rs_raw", None)
+        if raw is None:
+            return None
+        if self._rs_np is None:
+            self._rs_np = _key_data(raw)
+        return self._rs_np
+
+    @random_state.setter
+    def random_state(self, value):
+        self._rs_raw = value
+        self._rs_np = None
+
     def _append_chunk(self, chunk):
         self._chunks.append(chunk)
         self._acc_cache = None
@@ -164,7 +185,7 @@ class DeviceBackend(_DeviceChunkStore, Backend):
         """
         self._append_chunk((coords, log_prob, blobs, accepted))
         self.iteration += int(coords.shape[0])
-        self.random_state = _key_data(random_state)
+        self.random_state = random_state  # raw device key; lazy read
 
     # -- reads ------------------------------------------------------------
 
