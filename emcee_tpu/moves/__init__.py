@@ -7,14 +7,19 @@ concrete ``StretchMove``, ``WalkMove``, ``DEMove``, ``DESnookerMove``,
 ``BlendedMove`` (fused mixtures), ``EnsembleSliceMove`` (zeus-style
 rejection-free slice sampling — see ``moves/slice.py``), and the
 gradient-based family ``MALAMove`` / ``HMCMove`` / ``EnsembleMALAMove``
-(JAX autodiff — see ``moves/gradient.py``).
+/ ``EnsembleHMCMove`` (JAX autodiff — see ``moves/gradient.py``).
 """
 
 from .base import Move
 from .blended import BlendedMove
 from .de import DEMove
 from .de_snooker import DESnookerMove
-from .gradient import EnsembleMALAMove, HMCMove, MALAMove
+from .gradient import (
+    EnsembleHMCMove,
+    EnsembleMALAMove,
+    HMCMove,
+    MALAMove,
+)
 from .side import SideMove
 from .slice import EnsembleSliceMove
 from .gaussian import GaussianMove
@@ -40,4 +45,5 @@ __all__ = [
     "MALAMove",
     "HMCMove",
     "EnsembleMALAMove",
+    "EnsembleHMCMove",
 ]

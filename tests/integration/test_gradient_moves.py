@@ -305,3 +305,74 @@ def test_cov_validation():
         moves.MALAMove(0.5, cov=np.array([1.0, np.nan]))
     with pytest.raises(np.linalg.LinAlgError):
         moves.MALAMove(0.5, cov=-np.eye(2))  # non-PD matrix fails loudly
+
+
+def test_ensemble_hmc_normal():
+    """Ensemble-preconditioned HMC (complement-covariance mass matrix)
+    on the standard oracle."""
+    _test_normal(
+        moves.EnsembleHMCMove(0.5, n_leapfrog=4),
+        ndim=3,
+        nsteps=2000,
+        check_acceptance=False,
+    )
+
+
+def test_ensemble_hmc_affine_invariance():
+    """Zero-config HMC on a strongly correlated target: the ensemble
+    mass matrix whitens it, tau approaches 1, and the covariance is
+    recovered — the hand-preconditioned HMCMove(cov=...) behavior with
+    no cov argument."""
+    ndim, nwalkers, nsteps = 8, 64, 800
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(ndim, ndim)) / np.sqrt(ndim)
+    cov = A @ A.T + 0.1 * np.eye(ndim)
+    icov = jnp.asarray(np.linalg.inv(cov), dtype=jnp.float32)
+
+    def lp(x):
+        return -0.5 * x @ icov @ x
+
+    p0 = rng.normal(size=(nwalkers, ndim)) @ np.linalg.cholesky(cov).T
+    s = EnsembleSampler(
+        nwalkers, ndim, lp,
+        moves=moves.EnsembleHMCMove(0.4, n_leapfrog=5), seed=0,
+    )
+    s.run_mcmc(p0, nsteps)
+    assert float(np.mean(s.acceptance_fraction)) > 0.6
+    tau = float(np.max(np.asarray(s.get_autocorr_time(quiet=True, tol=0))))
+    assert tau < 10.0, tau
+    flat = np.asarray(s.get_chain(flat=True, discard=nsteps // 4))
+    err = np.linalg.norm(
+        np.cov(flat, rowvar=False) - cov
+    ) / np.linalg.norm(cov)
+    assert err < 0.15, err
+
+
+def test_ensemble_hmc_rejects_param_sharding():
+    ndev = len(jax.devices())
+    if ndev < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("walkers", "params"))
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    s = EnsembleSampler(
+        16, 4, lp, vectorize=True, moves=moves.EnsembleHMCMove(0.4),
+        mesh=mesh, param_axis="params", seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(16, 4))
+    with pytest.raises(NotImplementedError):
+        s.run_mcmc(coords, 2)
+
+
+def test_ensemble_hmc_validation():
+    with pytest.raises(ValueError):
+        moves.EnsembleHMCMove(step_size=-1.0)
+    with pytest.raises(ValueError):
+        moves.EnsembleHMCMove(n_leapfrog=0)
+    with pytest.raises(ValueError):
+        moves.EnsembleHMCMove(jitter=1.5)
