@@ -36,6 +36,11 @@ def main():
         ("hmc", moves.HMCMove(0.2, n_leapfrog=8, jitter=0.2,
                               tune_target=0.7)),
         ("mala", moves.MALAMove(0.3, tune_target=0.574)),
+        # Affine-invariant members: the complement group's covariance is
+        # the metric / mass matrix — nothing to tune even on correlated
+        # targets (the ensemble supplies the geometry).
+        ("e-mala", moves.EnsembleMALAMove(1.0)),
+        ("e-hmc", moves.EnsembleHMCMove(0.5, n_leapfrog=4)),
     ]:
         sampler = EnsembleSampler(nwalkers, ndim, log_prob, moves=mv, seed=0)
         state = sampler.run_mcmc(p0, nsteps // 4, tune=True)  # tuned burn-in
