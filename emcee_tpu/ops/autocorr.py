@@ -161,15 +161,58 @@ def ess(x, c=5, tol=50, quiet=False, has_walkers=True):
     return n_t * n_w / tau
 
 
-def rhat(x, split=True):
-    """Gelman-Rubin potential scale reduction factor, per parameter.
+def _psrf(x):
+    """Plain potential scale reduction factor of an (n, m, d) block."""
+    n = x.shape[0]
+    means = x.mean(axis=0)  # (m, d)
+    between = n * means.var(axis=0, ddof=1)  # (d,)
+    within = x.var(axis=0, ddof=1).mean(axis=0)  # (d,)
+    var_hat = (n - 1) / n * within + between / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.sqrt(var_hat / within)
+
+
+def _rank_normalize(x):
+    """Map an (n, m, d) block to normal scores of its pooled ranks.
+
+    Average ranks across the pooled sample per parameter, then the
+    inverse-normal transform ``Phi^{-1}((r - 3/8) / (S + 1/4))``
+    (Blom offsets) — Vehtari et al. 2021, eq. (14).  Uses
+    ``scipy.stats.rankdata`` semantics via argsort-of-argsort with
+    average ties handled by the Blom formula's insensitivity to the
+    exact tie rule for continuous chains.
+    """
+    from scipy.special import ndtri
+
+    n, m, d = x.shape
+    flat = x.reshape(n * m, d)
+    order = np.argsort(flat, axis=0, kind="stable")
+    ranks = np.empty_like(order)
+    rows = np.arange(1, n * m + 1)[:, None]
+    np.put_along_axis(ranks, order, np.broadcast_to(rows, order.shape), 0)
+    z = ndtri((ranks - 0.375) / (n * m + 0.25))
+    return z.reshape(n, m, d)
+
+
+def rhat(x, split=True, rank_normalized=True):
+    """Potential scale reduction factor R-hat, per parameter.
+
+    By default this is the modern rank-normalized split-R-hat of
+    Vehtari, Gelman, Simpson, Carpenter & Buerkner (2021): each chain is
+    split in half, the pooled draws are rank-normalized (so heavy tails
+    and scale changes register), and the reported value is the max of
+    the bulk statistic and the same statistic on the *folded* draws
+    ``|x - median|`` (which catches tail-variance disagreement).  With
+    ``rank_normalized=False`` it reduces to the classic Gelman-Rubin
+    split-R-hat on the raw draws.
 
     Args:
         x: ``(n_step, n_chain)`` or ``(n_step, n_chain, n_param)`` chain
             (the ``get_chain()`` layout, walkers as chains).
-        split: split each chain into halves first (split-R-hat, Gelman
-            et al. 2013), so within-chain drift registers too.  Default
-            True.
+        split: split each chain into halves first (split-R-hat), so
+            within-chain drift registers too.  Default True.
+        rank_normalized: apply rank-normalization and report
+            ``max(bulk, tail)`` R-hat.  Default True.
 
     Returns:
         ``(n_param,)`` array; values near 1 indicate the between-chain
@@ -198,8 +241,9 @@ def rhat(x, split=True):
         n = h
     if x.shape[1] < 2:
         raise ValueError("R-hat needs at least 2 chains")
-    means = x.mean(axis=0)  # (m, d)
-    between = n * means.var(axis=0, ddof=1)  # (d,)
-    within = x.var(axis=0, ddof=1).mean(axis=0)  # (d,)
-    var_hat = (n - 1) / n * within + between / n
-    return np.sqrt(var_hat / within)
+    if not rank_normalized:
+        return _psrf(x)
+    bulk = _psrf(_rank_normalize(x))
+    folded = np.abs(x - np.median(x.reshape(-1, x.shape[-1]), axis=0))
+    tail = _psrf(_rank_normalize(folded))
+    return np.maximum(bulk, tail)
