@@ -15,6 +15,7 @@ from .blended import BlendedMove
 from .de import DEMove
 from .de_snooker import DESnookerMove
 from .gradient import (
+    ChEESHMCMove,
     EnsembleHMCMove,
     EnsembleMALAMove,
     HMCMove,
@@ -44,6 +45,7 @@ __all__ = [
     "BlendedMove",
     "MALAMove",
     "HMCMove",
+    "ChEESHMCMove",
     "EnsembleMALAMove",
     "EnsembleHMCMove",
 ]

@@ -15,6 +15,11 @@ natural members of the move family:
   Hamiltonian difference.  ``n_leapfrog + 1`` gradient evaluations per
   step; mixes in far fewer steps than random-walk moves on smooth,
   high-dimensional targets.
+* :class:`ChEESHMCMove` — HMC whose trajectory length adapts itself by
+  stochastic gradient ascent on the ChEES criterion across the
+  ensemble (Hoffman, Radul & Sountsov 2021) — the SPMD-friendly
+  alternative to NUTS (whose per-chain early stopping batches
+  catastrophically; see ``docs/moves.md``).
 * :class:`EnsembleMALAMove` — affine-invariant Langevin: a red-blue
   move whose MALA step is preconditioned by the complementary group's
   sample covariance; the ensemble supplies the geometry, nothing to
@@ -35,12 +40,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .base import Move, ScaleTunable, accept_update
+from .base import Move, ScaleTunable, accept_update, robbins_monro_tune
 from .red_blue import RedBlueMove
 
 __all__ = [
     "MALAMove",
     "HMCMove",
+    "ChEESHMCMove",
     "EnsembleMALAMove",
     "EnsembleHMCMove",
 ]
@@ -337,6 +343,224 @@ class HMCMove(_GradientMove):
             state, q, new_log_prob, new_blobs, accepted
         )
         return new_state, accepted, carry
+
+
+def _van_der_corput(n):
+    """Base-2 van der Corput value of integer ``n >= 1`` in (0, 1):
+    the 32-bit bit-reversal divided by 2^32.  A low-discrepancy jitter
+    stream for trajectory lengths (Hoffman, Radul & Sountsov 2021 use a
+    Halton sequence; base 2 is its first coordinate)."""
+    n = n.astype(jnp.uint32)
+    n = ((n & 0x55555555) << 1) | ((n >> 1) & 0x55555555)
+    n = ((n & 0x33333333) << 2) | ((n >> 2) & 0x33333333)
+    n = ((n & 0x0F0F0F0F) << 4) | ((n >> 4) & 0x0F0F0F0F)
+    n = ((n & 0x00FF00FF) << 8) | ((n >> 8) & 0x00FF00FF)
+    n = (n << 16) | (n >> 16)
+    return n.astype(jnp.float32) * jnp.float32(2.0**-32)
+
+
+class ChEESHMCMove(_GradientMove):
+    """HMC with ChEES-adapted trajectory length — the SPMD answer to NUTS.
+
+    NUTS adapts the trajectory per chain by recursive doubling with an
+    early-stopping U-turn test, which is control flow that batches
+    catastrophically under SPMD (every walker waits for the slowest; see
+    ``docs/moves.md``).  ChEES-HMC (Hoffman, Radul & Sountsov, AISTATS
+    2021) gets the same automation the ensemble-native way: all walkers
+    share one trajectory length ``T`` that is adapted *across* the
+    ensemble by stochastic gradient ascent on the Change-in-Estimator of
+    the Expected Square criterion
+
+        ``ChEES(T) = 1/4 E[(|q' - E q'|^2 - |q - E q|^2)^2]``,
+
+    whose per-walker gradient with respect to ``T`` is available from
+    quantities the proposal already computes (the end-point momentum).
+    Each proposal integrates for ``ceil(u T / eps)`` leapfrog steps with
+    a low-discrepancy jitter ``u ~ vdC(2)`` (jittering removes the
+    resonance pathology and makes the criterion identifiable), and a
+    ``run_mcmc(..., tune=True)`` phase adapts both
+
+    * ``eps`` — Robbins-Monro toward ``tune_target`` acceptance (0.651,
+      the HMC optimum, by default), and
+    * ``T`` — Adam ascent on the acceptance-weighted ChEES gradient,
+
+    after which the tuned values are frozen for production (diminishing
+    adaptation; the carry persists across ``run_mcmc`` calls and
+    ``reset()``).  The ensemble is what makes the criterion cheap: the
+    cross-chain expectations are walker means (``pmean`` over shards),
+    so 10^5 walkers give a near-noiseless gradient each step.
+
+    Args:
+        step_size: initial leapfrog step ``eps``.
+        trajectory_length: initial total trajectory length ``T`` (in
+            coordinate time, not steps); jittered per proposal.
+        max_leapfrog: hard cap on leapfrog steps per proposal (bounds
+            compile-time-unbounded ``while_loop`` work per step).
+        cov: optional preconditioner (scalar / diag / full), as
+            :class:`HMCMove`.
+        tune_target: acceptance target for ``eps`` adaptation under
+            ``tune=True`` (default 0.651; None freezes ``eps``).
+        tune_rate: Robbins-Monro rate for ``eps``.
+        adapt_rate: Adam learning rate for ``log T`` (decays as
+            ``1/sqrt(t)``).
+
+    The proposal itself never uses cross-walker statistics (only the
+    adaptation does), so with ``tune=False`` walker-sharded runs remain
+    bit-identical to dense ones.
+    """
+
+    def __init__(
+        self,
+        step_size,
+        trajectory_length=1.0,
+        max_leapfrog=1024,
+        cov=None,
+        tune_target=0.651,
+        tune_rate=0.2,
+        adapt_rate=0.05,
+    ):
+        super().__init__(
+            step_size, cov=cov, tune_target=tune_target,
+            tune_rate=tune_rate,
+        )
+        self.trajectory_length = float(trajectory_length)
+        if self.trajectory_length <= 0:
+            raise ValueError("trajectory_length must be positive")
+        self.max_leapfrog = int(max_leapfrog)
+        if self.max_leapfrog < 1:
+            raise ValueError("max_leapfrog must be >= 1")
+        self.adapt_rate = float(adapt_rate)
+        if self.adapt_rate <= 0:
+            raise ValueError("adapt_rate must be positive")
+
+    def init_carry(self, nwalkers, ndim):
+        import numpy as np
+
+        return {
+            # eps Robbins-Monro state (ScaleTunable protocol).
+            "log_adj": jnp.zeros((), dtype=jnp.float32),
+            "t": jnp.zeros((), dtype=jnp.int32),
+            # Trajectory-length Adam state.
+            "log_T": jnp.asarray(
+                np.log(self.trajectory_length), dtype=jnp.float32
+            ),
+            "m": jnp.zeros((), dtype=jnp.float32),
+            "v": jnp.zeros((), dtype=jnp.float32),
+            "k": jnp.zeros((), dtype=jnp.int32),
+            # Pending ChEES gradient (set by propose, applied by tune).
+            "g": jnp.zeros((), dtype=jnp.float32),
+            # Proposal counter driving the van der Corput jitter.
+            "n": jnp.ones((), dtype=jnp.int32),
+        }
+
+    def propose(self, key, state, model, carry):
+        self._check_precond(model)
+        nw, nd = state.coords.shape
+        x = state.coords
+        eps = self._eps(carry, x.dtype)
+        grad = _batch_grad(model)
+
+        k_mom, k_acc = jax.random.split(key)
+        k_mom = model.fold_walker(k_mom)
+        k_acc = model.fold_walker(k_acc)
+
+        # Jittered trajectory length: t_traj = u * T, u from the
+        # low-discrepancy stream (shared across walkers and shards, so
+        # the leapfrog trip count is one replicated scalar).
+        u = _van_der_corput(carry["n"]).astype(x.dtype)
+        T = jnp.exp(carry["log_T"]).astype(x.dtype)
+        # Clip in float before the int cast: a blown-up T/eps ratio must
+        # saturate at max_leapfrog, not overflow int32.
+        n_steps = jnp.clip(
+            jnp.ceil(u * T / eps), 1.0, float(self.max_leapfrog)
+        ).astype(jnp.int32)
+
+        p0 = self._dim_normal(k_mom, nw, nd, model, x.dtype)
+
+        def cond(loop):
+            return loop[0] < n_steps
+
+        def body(loop):
+            # Velocity Verlet in the preconditioned frame (see HMCMove).
+            i, xi, pi, gi = loop
+            pi = pi + 0.5 * eps * self._apply_LT(gi)
+            xi = xi + eps * self._apply_L(pi)
+            gi = grad(xi)
+            pi = pi + 0.5 * eps * self._apply_LT(gi)
+            return i + 1, xi, pi, gi
+
+        _, q, pL, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), x, p0, grad(x))
+        )
+
+        new_log_prob, new_blobs = model.compute_log_prob(q)
+        lnpdiff = (
+            new_log_prob
+            - state.log_prob
+            + 0.5
+            * model.psum_params(
+                jnp.sum(p0**2, axis=-1) - jnp.sum(pL**2, axis=-1)
+            )
+        )
+        accepted = jnp.log(
+            jax.random.uniform(k_acc, (nw,), dtype=lnpdiff.dtype)
+        ) < lnpdiff
+
+        # --- ChEES gradient estimate (consumed by tune) -------------
+        # d/dT of 1/4 (|q'-Eq'|^2 - |q-Eq|^2)^2 per walker, using
+        # dq'/dT = u * p(T); expectations are ensemble means; walkers
+        # are weighted by their acceptance probability.
+        def wmean(val):
+            mu = jnp.mean(val, axis=0)
+            if model.axis_name is not None:
+                mu = jax.lax.pmean(mu, model.axis_name)
+            return mu
+
+        alpha = jnp.exp(jnp.minimum(lnpdiff, 0.0))
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+        dq = q - wmean(q)
+        dx = x - wmean(x)
+        delta = model.psum_params(
+            jnp.sum(dq**2, axis=-1) - jnp.sum(dx**2, axis=-1)
+        )
+        ddelta_dT = 2.0 * u * model.psum_params(jnp.sum(dq * pL, axis=-1))
+        per_walker = 0.5 * delta * ddelta_dT
+        num = jnp.mean(alpha * per_walker)
+        den = jnp.mean(alpha)
+        if model.axis_name is not None:
+            num = jax.lax.pmean(num, model.axis_name)
+            den = jax.lax.pmean(den, model.axis_name)
+        # Gradient with respect to log T (chain rule factor T).
+        g = (T * num / (den + 1e-12)).astype(jnp.float32)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+
+        carry = {**carry, "g": g, "n": carry["n"] + 1}
+        new_state = accept_update(
+            state, q, new_log_prob, new_blobs, accepted
+        )
+        return new_state, accepted, carry
+
+    def tune(self, carry, state, accepted, model=None):
+        if self.tune_target is not None:
+            carry = robbins_monro_tune(
+                carry, accepted, self.tune_target, self.tune_rate, model
+            )
+        # Adam ascent on log T from the pending ChEES gradient.
+        b1, b2 = 0.9, 0.999
+        g = carry["g"]
+        k = carry["k"] + 1
+        kf = k.astype(jnp.float32)
+        m = b1 * carry["m"] + (1.0 - b1) * g
+        v = b2 * carry["v"] + (1.0 - b2) * g * g
+        mh = m / (1.0 - b1**kf)
+        vh = v / (1.0 - b2**kf)
+        lr = self.adapt_rate / jnp.sqrt(1.0 + kf)
+        log_T = jnp.clip(
+            carry["log_T"] + lr * mh / (jnp.sqrt(vh) + 1e-8),
+            -15.0,
+            15.0,
+        )
+        return {**carry, "log_T": log_T, "m": m, "v": v, "k": k}
 
 
 class EnsembleMALAMove(RedBlueMove):

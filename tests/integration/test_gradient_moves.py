@@ -69,6 +69,87 @@ def test_hmc_mixes_faster_than_stretch():
     assert taus["hmc"] * 3 < taus["stretch"], taus
 
 
+def test_chees_normal():
+    """With tune off, ChEES-HMC is jittered fixed-T HMC: the standard
+    statistical oracle must hold."""
+    _test_normal(
+        moves.ChEESHMCMove(0.5, trajectory_length=2.0),
+        ndim=3,
+        nsteps=2000,
+        check_acceptance=False,
+    )
+
+
+def test_chees_adapts_trajectory_and_beats_fixed_l():
+    """On an ill-conditioned diagonal Gaussian the ChEES criterion must
+    stretch the trajectory length well past its (deliberately short)
+    initial value, land acceptance near the 0.651 target, and out-mix a
+    fixed-L HMC with the same step-size budget."""
+    nd, nw = 8, 128
+    scales = np.logspace(0, 1.5, nd)  # condition number 1e3
+    sc = jnp.asarray(scales, dtype=jnp.float32)
+
+    def lp(x):
+        return -0.5 * jnp.sum((x / sc) ** 2, axis=-1)
+
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(nw, nd)) * scales
+
+    taus = {}
+    for name, mv in (
+        ("chees", moves.ChEESHMCMove(0.25, trajectory_length=1.0)),
+        (
+            "fixed",
+            moves.HMCMove(
+                0.25, n_leapfrog=5, jitter=0.2, tune_target=0.651
+            ),
+        ),
+    ):
+        s = EnsembleSampler(nw, nd, lp, moves=mv, vectorize=True, seed=0)
+        s.run_mcmc(p0, 700, tune=True)
+        if name == "chees":
+            carry = s._move_carries[0]
+            T = float(np.exp(carry["log_T"]))
+            assert T > 5.0, f"trajectory length failed to grow: T={T}"
+        s.reset()  # keeps the adapted carry
+        s.run_mcmc(None, 1500)
+        taus[name] = float(
+            np.max(np.asarray(s.get_autocorr_time(quiet=True)))
+        )
+        if name == "chees":
+            acc = float(np.mean(s.acceptance_fraction))
+            assert 0.5 < acc < 0.8, acc
+            chain = np.asarray(
+                s.get_chain(discard=300)
+            ).reshape(-1, nd)
+            np.testing.assert_allclose(
+                chain.std(0) / scales, 1.0, atol=0.12
+            )
+    assert taus["chees"] * 2 < taus["fixed"], taus
+
+
+def test_chees_validation():
+    with pytest.raises(ValueError):
+        moves.ChEESHMCMove(0.5, trajectory_length=0.0)
+    with pytest.raises(ValueError):
+        moves.ChEESHMCMove(0.5, max_leapfrog=0)
+    with pytest.raises(ValueError):
+        moves.ChEESHMCMove(0.5, adapt_rate=-1.0)
+
+
+def test_chees_van_der_corput_stream():
+    """The jitter stream is the base-2 van der Corput sequence."""
+    from emcee_tpu.moves.gradient import _van_der_corput
+
+    got = [
+        float(_van_der_corput(jnp.asarray(n, dtype=jnp.int32)))
+        for n in range(1, 9)
+    ]
+    np.testing.assert_allclose(
+        got, [0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875, 0.0625]
+    )
+
+
 def test_mala_tune_target():
     """Robbins-Monro step-size adaptation drives acceptance toward the
     target from a deliberately bad initial step size."""

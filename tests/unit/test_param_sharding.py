@@ -64,6 +64,7 @@ def _run(move, nwalkers=64, ndim=8, nsteps=800, seed=0):
         moves.SideMove(),
         moves.MALAMove(1.2),
         moves.HMCMove(0.8, n_leapfrog=5, jitter=0.2),
+        moves.ChEESHMCMove(0.8, trajectory_length=2.0),
     ],
     ids=[
         "stretch",
@@ -76,6 +77,7 @@ def _run(move, nwalkers=64, ndim=8, nsteps=800, seed=0):
         "side",
         "mala",
         "hmc",
+        "chees",
     ],
 )
 def test_param_sharded_statistics(move):

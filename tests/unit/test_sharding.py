@@ -192,6 +192,57 @@ def test_sharded_red_blue_tune():
     assert 0.15 < late.mean() < 0.45, late.mean()
 
 
+def test_sharded_chees_deterministic_and_correct():
+    """ChEES-HMC under walker sharding: the dynamic-trip-count leapfrog
+    (while_loop) and the van der Corput carry must stay deterministic
+    across runs, and the sampled moments must be right.  (Dense-vs-
+    sharded bit-identity is a param-axis contract only: walker sharding
+    folds the shard index into the per-shard streams by design.)"""
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    nw, nd = 64, 3
+    p0 = np.random.default_rng(0).normal(size=(nw, nd))
+    chains = []
+    for _ in range(2):
+        s = EnsembleSampler(
+            nw, nd, lp,
+            moves=moves.ChEESHMCMove(0.4, trajectory_length=1.5),
+            mesh=walker_mesh(8), seed=7,
+        )
+        s.run_mcmc(p0, 400)
+        chains.append(np.asarray(s.get_chain()))
+    np.testing.assert_array_equal(chains[0], chains[1])
+    flat = chains[0][100:].reshape(-1, nd)
+    assert np.all(np.abs(flat.mean(0)) < 0.1)
+    assert np.all(np.abs(flat.std(0) - 1) < 0.08)
+
+
+def test_sharded_chees_tune():
+    """Under walker sharding the ChEES gradient and acceptance statistics
+    are pmean-ed over the mesh, so the replicated carry stays coherent and
+    the adapted run lands in the target acceptance window."""
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    nw, nd = 64, 4
+    p0 = np.random.default_rng(1).normal(size=(nw, nd))
+    s = EnsembleSampler(
+        nw, nd, lp,
+        moves=moves.ChEESHMCMove(0.1, trajectory_length=0.2),
+        mesh=walker_mesh(8), seed=0,
+    )
+    s.run_mcmc(p0, 700, tune=True)
+    carry = s._move_carries[0]
+    assert float(np.exp(carry["log_T"])) > 0.4  # grew from 0.2
+    s.reset()
+    s.run_mcmc(None, 400)
+    acc = float(np.mean(s.acceptance_fraction))
+    assert 0.45 < acc < 0.85, acc
+
+
 def test_sharded_ensemble_mala():
     """EnsembleMALAMove under walker sharding: the complement covariance
     is built from the globally-gathered complement, so the metric is
