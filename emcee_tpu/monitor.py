@@ -26,12 +26,19 @@ class ConvergenceMonitor:
         tau_factor: required chain length in units of tau (the reference
             pattern uses 100; ``integrated_time``'s own default tol is 50).
         dtau_rel: required relative change of tau between checks.
+        rhat_threshold: optional; when set, additionally require the
+            rank-normalized split R-hat (walkers as chains, second half
+            of the chain) to fall below this per parameter.  1.01 is the
+            standard gate.  Catches stuck walkers / non-stationarity
+            that a stabilized tau can miss.
     """
 
     tau_factor: float = 100.0
     dtau_rel: float = 0.01
+    rhat_threshold: Optional[float] = None
     history: List[np.ndarray] = field(default_factory=list)
     iterations: List[int] = field(default_factory=list)
+    rhat_history: List[np.ndarray] = field(default_factory=list)
 
     def update(self, chain) -> bool:
         """Record a tau estimate from chain (nsteps, nwalkers, ndim).
@@ -42,6 +49,12 @@ class ConvergenceMonitor:
         n = np.shape(chain)[0]
         self.history.append(tau)
         self.iterations.append(n)
+        if self.rhat_threshold is not None and n // 2 >= 4:
+            # Second half only: the R-hat gate should judge the
+            # stationary segment, not the burn-in transient.  (Skipped
+            # until the half-chain is long enough for split R-hat.)
+            r = autocorr.rhat(np.asarray(chain)[n // 2 :])
+            self.rhat_history.append(r)
         if np.any(~np.isfinite(tau)):
             return False
         converged = np.all(tau * self.tau_factor < n)
@@ -50,11 +63,19 @@ class ConvergenceMonitor:
             converged &= np.all(
                 np.abs(prev - tau) / tau < self.dtau_rel
             )
+        if self.rhat_threshold is not None:
+            converged &= bool(self.rhat_history) and bool(
+                np.all(self.rhat_history[-1] < self.rhat_threshold)
+            )
         return bool(converged)
 
     @property
     def tau(self) -> Optional[np.ndarray]:
         return self.history[-1] if self.history else None
+
+    @property
+    def rhat(self) -> Optional[np.ndarray]:
+        return self.rhat_history[-1] if self.rhat_history else None
 
 
 def run_until_converged(

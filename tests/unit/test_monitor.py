@@ -44,6 +44,39 @@ def test_monitor_not_converged_short():
     assert not monitor.update(x)
 
 
+def test_monitor_rhat_gate_blocks_stuck_chain():
+    """A chain with one stuck walker can have a stable finite tau but
+    must fail the R-hat gate."""
+    rng = np.random.default_rng(0)
+    n, nw, nd = 4000, 8, 2
+    x = rng.normal(size=(n, nw, nd))
+    # One walker frozen at an offset mode: between-chain variance blows
+    # up the split R-hat while per-walker tau stays tiny.
+    x[:, 0, :] = 5.0 + 0.01 * rng.normal(size=(n, nd))
+    gated = ConvergenceMonitor(tau_factor=10.0, rhat_threshold=1.01)
+    ungated = ConvergenceMonitor(tau_factor=10.0)
+    assert ungated.update(x)  # tau alone is fooled
+    assert not gated.update(x)
+    assert gated.rhat is not None and np.any(gated.rhat > 1.01)
+
+
+def test_monitor_rhat_gate_passes_good_chain():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4000, 8, 2))
+    m = ConvergenceMonitor(tau_factor=10.0, rhat_threshold=1.01)
+    assert m.update(x)
+    assert np.all(m.rhat < 1.01)
+
+
+def test_monitor_rhat_short_chain_skipped():
+    """Threshold set but the chain is too short for split R-hat: the
+    update must not crash and must not report convergence."""
+    rng = np.random.default_rng(2)
+    m = ConvergenceMonitor(tau_factor=1.0, rhat_threshold=1.01)
+    assert not m.update(rng.normal(size=(6, 8, 2)))
+    assert m.rhat is None
+
+
 def test_run_stats():
     from emcee_tpu.profiling import RunStats
 
