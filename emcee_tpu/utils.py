@@ -2,7 +2,10 @@
 
 Key-based equivalents of the reference's deprecated ``sample_ball`` /
 ``sample_ellipsoid`` initializers (``/root/reference/src/emcee/utils.py:31-62``)
-— the tutorials' ``p0 + std * randn`` ball-init pattern, kept first-class.
+— the tutorials' ``p0 + std * randn`` ball-init pattern, kept first-class —
+plus :func:`find_map`, the on-device analogue of the reference line-fit
+tutorial's ``scipy.optimize.minimize`` initialization step
+(``/root/reference/docs/tutorials/line.ipynb``).
 """
 
 from __future__ import annotations
@@ -10,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sample_ball", "sample_ellipsoid"]
+__all__ = ["sample_ball", "sample_ellipsoid", "find_map"]
 
 
 def sample_ball(key, p0, std, size=1):
@@ -40,3 +43,89 @@ def sample_ellipsoid(key, p0, covmat, size=1):
     return jax.random.multivariate_normal(
         key, p0, jnp.asarray(covmat), (size,), dtype=p0.dtype
     )
+
+
+def find_map(
+    log_prob_fn,
+    x0,
+    *,
+    steps: int = 1000,
+    optimizer=None,
+    return_all: bool = False,
+):
+    """Maximize ``log_prob_fn`` by gradient ascent; the MAP-init step.
+
+    The reference line-fit tutorial seeds its walkers from a
+    ``scipy.optimize.minimize`` solution; this is the TPU-native
+    equivalent — one jitted optax loop, vmapped over any number of
+    starting points, so a multi-start search costs one compile and one
+    launch.  Typical use::
+
+        x_map, lp = utils.find_map(log_prob, x0)
+        p0 = utils.sample_ball(key, x_map, 1e-4 * jnp.ones(ndim), nwalkers)
+
+    Args:
+        log_prob_fn: per-point log-probability, ``(ndim,) -> scalar``
+            (a ``(scalar, blobs)`` return is accepted; blobs are
+            ignored).  Must be differentiable; start inside the support
+            — ``-inf`` plateaus have no gradient (nonfinite gradient
+            components are zeroed so a hard prior boundary stalls that
+            coordinate rather than poisoning the whole iterate).
+        x0: ``(ndim,)`` start or ``(nstarts, ndim)`` batch of starts.
+        steps: optimizer iterations (one ``lax.scan``).
+        optimizer: any optax ``GradientTransformation``; default
+            ``optax.adam(1e-2)``.
+        return_all: with batched ``x0``, return every start's
+            ``(points (nstarts, ndim), log_probs (nstarts,))`` instead
+            of just the best.
+
+    Returns:
+        ``(x_map, log_prob)`` — the best iterate seen (tracked across
+        the whole trajectory, not merely the final point).
+    """
+    import optax
+
+    x0 = jnp.asarray(x0)
+    if x0.ndim not in (1, 2):
+        raise ValueError("x0 must be (ndim,) or (nstarts, ndim)")
+    single = x0.ndim == 1
+    starts = x0[None] if single else x0
+    opt = optax.adam(1e-2) if optimizer is None else optimizer
+
+    def lp(x):
+        out = log_prob_fn(x)
+        return out[0] if isinstance(out, tuple) else out
+
+    def value_and_grad(x):
+        v, g = jax.value_and_grad(lp)(x)
+        return v, jnp.where(jnp.isfinite(g), g, 0.0)
+
+    def one_start(x):
+        def step(carry, _):
+            x, opt_state, best_x, best_v = carry
+            v, g = value_and_grad(x)
+            better = v > best_v
+            best_x = jnp.where(better, x, best_x)
+            best_v = jnp.maximum(v, best_v)
+            updates, opt_state = opt.update(-g, opt_state, x)
+            x = optax.apply_updates(x, updates)
+            return (x, opt_state, best_x, best_v), None
+
+        init = (x, opt.init(x), x, -jnp.inf)
+        (x, _, best_x, best_v), _ = jax.lax.scan(
+            step, init, None, length=steps
+        )
+        # The final iterate may beat the best recorded pre-update value.
+        vf, _ = value_and_grad(x)
+        improved = vf > best_v
+        best_x = jnp.where(improved, x, best_x)
+        best_v = jnp.maximum(vf, best_v)
+        return best_x, best_v
+
+    xs, vs = jax.jit(jax.vmap(one_start))(starts)
+    if single:
+        return xs[0], vs[0]
+    if return_all:
+        return xs, vs
+    i = jnp.argmax(vs)
+    return xs[i], vs[i]

@@ -44,9 +44,19 @@ def main():
         ll = -0.5 * jnp.sum((y - model) ** 2 / sigma2 + jnp.log(sigma2))
         return lp + jnp.where(jnp.isfinite(lp), ll, 0.0), lp  # blob = prior
 
-    p0 = np.array([-1.0, 4.5, -0.7]) + 1e-4 * np.random.default_rng(
-        0
-    ).normal(size=(nwalkers, ndim))
+    # MAP init, as the reference tutorial does with scipy.optimize —
+    # here a jitted optax ascent (utils.find_map) + ball init.
+    from emcee_tpu import utils
+
+    theta_map, _ = utils.find_map(
+        lambda t: log_prob(t)[0], jnp.array([-1.0, 4.5, -0.7]), steps=3000
+    )
+    print("MAP:", np.asarray(theta_map))
+    p0 = np.asarray(
+        utils.sample_ball(
+            jax.random.key(7), theta_map, 1e-4 * jnp.ones(ndim), nwalkers
+        )
+    )
 
     sampler = EnsembleSampler(nwalkers, ndim, log_prob, seed=42)
     sampler.run_mcmc(p0, nsteps, progress=True)
