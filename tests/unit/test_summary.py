@@ -119,5 +119,22 @@ def test_posterior_dict_unnamed_single_var():
     assert posterior["x"].shape == (8, 20, 3)
 
 
+def test_summary_pt_cold_chain():
+    """summary() over the PT cold rung (raw-chain input path)."""
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2)
+
+    def lpr(x):
+        return 0.0
+
+    pt = emcee_tpu.PTSampler(4, 16, 2, ll, lpr, seed=0)
+    p0 = np.random.default_rng(0).normal(size=(4, 16, 2))
+    pt.run_mcmc(p0, 500)
+    rep = summary(pt.get_chain(temp=0, discard=100))
+    assert np.all(np.abs(rep["mean"]) < 0.3)
+    assert np.all(rep["sd"] > 0.7)
+
+
 def test_to_inference_data_requires_arviz():
     pytest.importorskip("arviz", reason="covered when arviz present")
