@@ -10,7 +10,7 @@ mirrors the reference
 
 from . import autocorr, backends, checkpoint, kernels, moves, utils
 from .monitor import ConvergenceMonitor, run_until_converged
-from .summary import summary, to_inference_data
+from .stats import summary, to_inference_data
 from .ops.autocorr import AutocorrError
 from .parallel.tempering import PTSampler
 from .sampler import EnsembleSampler

@@ -1,5 +1,6 @@
 """Chain storage backends (reference ``/root/reference/src/emcee/backends/``)."""
 
+from . import pt
 from .backend import Backend
 from .device import DeviceBackend
 from .hdf import HDFBackend, TempHDFBackend
@@ -9,6 +10,7 @@ __all__ = [
     "DeviceBackend",
     "HDFBackend",
     "TempHDFBackend",
+    "pt",
     "get_test_backends",
 ]
 

@@ -193,44 +193,6 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
     def accepted(self, value):
         self._set_accepted_base(value)
 
-    # Lazy host views of the tiny per-chunk scalars (see save_chunk):
-    # the setter keeps whatever it was handed (device array from the
-    # chunk program, or host numpy from reset/resume); the getter
-    # materializes numpy on first read.
-
-    @property
-    def swaps_accepted(self):
-        raw = getattr(self, "_sa_raw", None)
-        if raw is not None and not isinstance(raw, np.ndarray):
-            self._sa_raw = np.asarray(raw)
-        return self._sa_raw
-
-    @swaps_accepted.setter
-    def swaps_accepted(self, value):
-        self._sa_raw = value
-
-    @property
-    def swaps_proposed(self):
-        raw = getattr(self, "_sp_raw", None)
-        if raw is not None and not isinstance(raw, np.ndarray):
-            self._sp_raw = np.asarray(raw)
-        return self._sp_raw
-
-    @swaps_proposed.setter
-    def swaps_proposed(self, value):
-        self._sp_raw = value
-
-    @property
-    def betas(self):
-        raw = getattr(self, "_betas_raw", None)
-        if raw is not None and not isinstance(raw, np.ndarray):
-            self._betas_raw = np.asarray(raw)
-        return self._betas_raw
-
-    @betas.setter
-    def betas(self, value):
-        self._betas_raw = value
-
     def grow(self, ngrow):
         self._size = self.iteration + int(ngrow)
 
@@ -247,10 +209,11 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
     ):
         self._append_chunk((coords, log_like, log_prior, accepted))
         self.iteration += int(coords.shape[0])
-        # Raw device arrays; the lazy properties below (and the
-        # _DeviceChunkStore.random_state property) convert on first
-        # read — each eager np.asarray here was a host<->device sync
-        # per chunk (~25 ms each on a tunneled runtime).
+        # The swap counters and ladder arrive as host numpy (the run
+        # loop fetches them for its own bookkeeping); only random_state
+        # may be a raw device key — _DeviceChunkStore's property
+        # converts it on first read instead of paying a host<->device
+        # sync (~25 ms on a tunneled runtime) every chunk.
         self.swaps_accepted = swaps_accepted
         self.swaps_proposed = swaps_proposed
         self.random_state = random_state

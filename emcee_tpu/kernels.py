@@ -97,7 +97,14 @@ def build_kernel(
     def step_fn(state: State, carry):
         key, k_prop = jax.random.split(state.random_state)
         state = state._replace(random_state=key)
-        new_state, accepted, carry = move.propose(k_prop, state, model, carry)
+        if getattr(move, "wants_tune_flag", False):
+            new_state, accepted, carry = move.propose(
+                k_prop, state, model, carry, tune=tune
+            )
+        else:
+            new_state, accepted, carry = move.propose(
+                k_prop, state, model, carry
+            )
         if tune:
             carry = move.tune(carry, new_state, accepted, model)
         return new_state, accepted, carry

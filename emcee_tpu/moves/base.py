@@ -129,6 +129,11 @@ def accept_update(state, q, new_log_prob, new_blobs, accepted):
 class Move:
     """Base class; concrete moves implement :meth:`propose`."""
 
+    #: Opt-in extended contract: when True, drivers call
+    #: ``propose(..., tune=<bool>)`` so the move can skip adaptation-only
+    #: work (e.g. ChEES gradient estimation) on production steps.
+    wants_tune_flag = False
+
     def init_carry(self, nwalkers: int, ndim: int) -> Any:
         """Per-move scan-carried state (default: none)."""
         return ()

@@ -406,8 +406,13 @@ class ChEESHMCMove(_GradientMove):
 
     The proposal itself never uses cross-walker statistics (only the
     adaptation does), so with ``tune=False`` walker-sharded runs remain
-    bit-identical to dense ones.
+    bit-identical to dense ones.  The ChEES-gradient reductions (two
+    ensemble means plus their collectives) are only traced when the
+    driver passes ``tune=True`` (``wants_tune_flag`` contract), so
+    production steps pay nothing for the adaptation machinery.
     """
+
+    wants_tune_flag = True
 
     def __init__(
         self,
@@ -453,7 +458,7 @@ class ChEESHMCMove(_GradientMove):
             "n": jnp.ones((), dtype=jnp.int32),
         }
 
-    def propose(self, key, state, model, carry):
+    def propose(self, key, state, model, carry, tune=False):
         self._check_precond(model)
         nw, nd = state.coords.shape
         x = state.coords
@@ -506,33 +511,41 @@ class ChEESHMCMove(_GradientMove):
             jax.random.uniform(k_acc, (nw,), dtype=lnpdiff.dtype)
         ) < lnpdiff
 
-        # --- ChEES gradient estimate (consumed by tune) -------------
-        # d/dT of 1/4 (|q'-Eq'|^2 - |q-Eq|^2)^2 per walker, using
-        # dq'/dT = u * p(T); expectations are ensemble means; walkers
-        # are weighted by their acceptance probability.
-        def wmean(val):
-            mu = jnp.mean(val, axis=0)
-            if model.axis_name is not None:
-                mu = jax.lax.pmean(mu, model.axis_name)
-            return mu
+        if tune:
+            # --- ChEES gradient estimate (consumed by tune) ---------
+            # d/dT of 1/4 (|q'-Eq'|^2 - |q-Eq|^2)^2 per walker, using
+            # dq'/dT = u * dx/dt(T) = u * L p(T) (the leapfrog position
+            # velocity is the *preconditioned* momentum); expectations
+            # are ensemble means; walkers are weighted by their
+            # acceptance probability.
+            def wmean(val):
+                mu = jnp.mean(val, axis=0)
+                if model.axis_name is not None:
+                    mu = jax.lax.pmean(mu, model.axis_name)
+                return mu
 
-        alpha = jnp.exp(jnp.minimum(lnpdiff, 0.0))
-        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
-        dq = q - wmean(q)
-        dx = x - wmean(x)
-        delta = model.psum_params(
-            jnp.sum(dq**2, axis=-1) - jnp.sum(dx**2, axis=-1)
-        )
-        ddelta_dT = 2.0 * u * model.psum_params(jnp.sum(dq * pL, axis=-1))
-        per_walker = 0.5 * delta * ddelta_dT
-        num = jnp.mean(alpha * per_walker)
-        den = jnp.mean(alpha)
-        if model.axis_name is not None:
-            num = jax.lax.pmean(num, model.axis_name)
-            den = jax.lax.pmean(den, model.axis_name)
-        # Gradient with respect to log T (chain rule factor T).
-        g = (T * num / (den + 1e-12)).astype(jnp.float32)
-        g = jnp.where(jnp.isfinite(g), g, 0.0)
+            alpha = jnp.exp(jnp.minimum(lnpdiff, 0.0))
+            alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+            dq = q - wmean(q)
+            dx = x - wmean(x)
+            delta = model.psum_params(
+                jnp.sum(dq**2, axis=-1) - jnp.sum(dx**2, axis=-1)
+            )
+            ddelta_dT = 2.0 * u * model.psum_params(
+                jnp.sum(dq * self._apply_L(pL), axis=-1)
+            )
+            per_walker = 0.5 * delta * ddelta_dT
+            num = jnp.mean(alpha * per_walker)
+            den = jnp.mean(alpha)
+            if model.axis_name is not None:
+                num = jax.lax.pmean(num, model.axis_name)
+                den = jax.lax.pmean(den, model.axis_name)
+            # Gradient with respect to log T (chain rule factor T).
+            g = (T * num / (den + 1e-12)).astype(jnp.float32)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+        else:
+            # Production steps: no pending gradient, no reductions.
+            g = jnp.zeros((), dtype=jnp.float32)
 
         carry = {**carry, "g": g, "n": carry["n"] + 1}
         new_state = accept_update(
@@ -561,6 +574,28 @@ class ChEESHMCMove(_GradientMove):
             15.0,
         )
         return {**carry, "log_T": log_T, "m": m, "v": v, "k": k}
+
+
+def _complement_chol(c_parts, ridge, model, cls_name):
+    """Complement sample covariance (+ ridge) and its Cholesky.
+
+    Shared metric build of the affine-invariant gradient pair
+    (:class:`EnsembleMALAMove` / :class:`EnsembleHMCMove`): a single MXU
+    matmul over the frozen complementary group.  Raises under
+    parameter-axis sharding — the metric couples dimensions.
+    """
+    if model.param_axis is not None:
+        raise NotImplementedError(
+            f"{cls_name} couples parameter dimensions (the "
+            "complement-covariance metric) and does not support "
+            "parameter-axis sharding"
+        )
+    c = jnp.concatenate(c_parts, axis=0)
+    nc, nd = c.shape
+    mu = jnp.mean(c, axis=0)
+    X = (c - mu) / jnp.sqrt(jnp.asarray(nc - 1.0, dtype=c.dtype))
+    C = X.T @ X + ridge * jnp.eye(nd, dtype=c.dtype)
+    return C, jnp.linalg.cholesky(C)
 
 
 class EnsembleMALAMove(RedBlueMove):
@@ -602,19 +637,10 @@ class EnsembleMALAMove(RedBlueMove):
         super().__init__(**kwargs)
 
     def get_proposal(self, key, s, c_parts, model, scale=None):
-        if model.param_axis is not None:
-            raise NotImplementedError(
-                "EnsembleMALAMove couples parameter dimensions (the "
-                "complement-covariance metric) and does not support "
-                "parameter-axis sharding"
-            )
         ns, nd = s.shape
-        c = jnp.concatenate(c_parts, axis=0)
-        nc = c.shape[0]
-        mu = jnp.mean(c, axis=0)
-        X = (c - mu) / jnp.sqrt(jnp.asarray(nc - 1.0, dtype=s.dtype))
-        C = X.T @ X + self.ridge * jnp.eye(nd, dtype=s.dtype)
-        L = jnp.linalg.cholesky(C)
+        C, L = _complement_chol(
+            c_parts, self.ridge, model, "EnsembleMALAMove"
+        )
 
         eps = jnp.asarray(self.step_size, dtype=s.dtype)
         if scale is not None:
@@ -689,19 +715,10 @@ class EnsembleHMCMove(RedBlueMove):
         super().__init__(**kwargs)
 
     def get_proposal(self, key, s, c_parts, model, scale=None):
-        if model.param_axis is not None:
-            raise NotImplementedError(
-                "EnsembleHMCMove couples parameter dimensions (the "
-                "complement-covariance mass matrix) and does not "
-                "support parameter-axis sharding"
-            )
         ns, nd = s.shape
-        c = jnp.concatenate(c_parts, axis=0)
-        nc = c.shape[0]
-        mu = jnp.mean(c, axis=0)
-        X = (c - mu) / jnp.sqrt(jnp.asarray(nc - 1.0, dtype=s.dtype))
-        C = X.T @ X + self.ridge * jnp.eye(nd, dtype=s.dtype)
-        L = jnp.linalg.cholesky(C)
+        C, L = _complement_chol(
+            c_parts, self.ridge, model, "EnsembleHMCMove"
+        )
 
         eps = jnp.asarray(self.step_size, dtype=s.dtype)
         if scale is not None:

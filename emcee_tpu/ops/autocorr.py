@@ -175,21 +175,22 @@ def _psrf(x):
 def _rank_normalize(x):
     """Map an (n, m, d) block to normal scores of its pooled ranks.
 
-    Average ranks across the pooled sample per parameter, then the
-    inverse-normal transform ``Phi^{-1}((r - 3/8) / (S + 1/4))``
-    (Blom offsets) — Vehtari et al. 2021, eq. (14).  Uses
-    ``scipy.stats.rankdata`` semantics via argsort-of-argsort with
-    average ties handled by the Blom formula's insensitivity to the
-    exact tie rule for continuous chains.
+    Average ranks (``scipy.stats.rankdata`` ``method="average"``) across
+    the pooled sample per parameter, then the inverse-normal transform
+    ``Phi^{-1}((r - 3/8) / (S + 1/4))`` (Blom offsets) — Vehtari et al.
+    2021, eq. (14).  Average ties matter in the degenerate regimes this
+    diagnostic exists to catch: a fully collapsed ensemble (all walkers
+    tied) gets one shared rank per draw — zero within- and
+    between-chain variance, so R-hat surfaces the degeneracy as NaN —
+    where ordinal ranks would fabricate distinct scores and report a
+    healthy-looking R-hat.
     """
     from scipy.special import ndtri
+    from scipy.stats import rankdata
 
     n, m, d = x.shape
     flat = x.reshape(n * m, d)
-    order = np.argsort(flat, axis=0, kind="stable")
-    ranks = np.empty_like(order)
-    rows = np.arange(1, n * m + 1)[:, None]
-    np.put_along_axis(ranks, order, np.broadcast_to(rows, order.shape), 0)
+    ranks = rankdata(flat, axis=0, method="average")
     z = ndtri((ranks - 0.375) / (n * m + 0.25))
     return z.reshape(n, m, d)
 

@@ -329,22 +329,32 @@ class PTSampler:
             )
 
             if n_moves == 1:
-                new_st, acc, c = self._moves[0].propose(
-                    key_t, st, model, carries_t[0]
-                )
+                mv = self._moves[0]
+                if getattr(mv, "wants_tune_flag", False):
+                    new_st, acc, c = mv.propose(
+                        key_t, st, model, carries_t[0], tune=tune
+                    )
+                else:
+                    new_st, acc, c = mv.propose(
+                        key_t, st, model, carries_t[0]
+                    )
                 if tune:
-                    c = self._moves[0].tune(c, new_st, acc, model)
+                    c = mv.tune(c, new_st, acc, model)
                 carries_t = (c,)
             else:
 
                 def make_branch(i):
                     def branch(operand):
                         k, s, cs = operand
-                        ns, acc, c = self._moves[i].propose(
-                            k, s, model, cs[i]
-                        )
+                        mv = self._moves[i]
+                        if getattr(mv, "wants_tune_flag", False):
+                            ns, acc, c = mv.propose(
+                                k, s, model, cs[i], tune=tune
+                            )
+                        else:
+                            ns, acc, c = mv.propose(k, s, model, cs[i])
                         if tune:
-                            c = self._moves[i].tune(c, ns, acc, model)
+                            c = mv.tune(c, ns, acc, model)
                         cs = cs[:i] + (c,) + cs[i + 1 :]
                         return ns, acc, cs
 

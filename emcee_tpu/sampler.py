@@ -495,9 +495,13 @@ class EnsembleSampler:
         weights = jnp.asarray(self._weights)
 
         def apply_move(i, k, st, cs):
-            ns, acc, c = moves[i].propose(k, st, model, cs[i])
+            mv = moves[i]
+            if getattr(mv, "wants_tune_flag", False):
+                ns, acc, c = mv.propose(k, st, model, cs[i], tune=tune)
+            else:
+                ns, acc, c = mv.propose(k, st, model, cs[i])
             if tune:
-                c = moves[i].tune(c, ns, acc, model)
+                c = mv.tune(c, ns, acc, model)
             return ns, acc, cs[:i] + (c,) + cs[i + 1 :]
 
         if n_moves == 1 or move_index is not None:

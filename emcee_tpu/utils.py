@@ -101,12 +101,20 @@ def find_map(
         return v, jnp.where(jnp.isfinite(g), g, 0.0)
 
     def one_start(x):
+        def record_best(x, v, best_x, best_v):
+            # NaN-rejecting: `v > best_v` is False for NaN v, and we
+            # never write v into best_v via max (jnp.maximum would
+            # propagate a transient NaN forever and poison the run).
+            better = v > best_v
+            return (
+                jnp.where(better, x, best_x),
+                jnp.where(better, v, best_v),
+            )
+
         def step(carry, _):
             x, opt_state, best_x, best_v = carry
             v, g = value_and_grad(x)
-            better = v > best_v
-            best_x = jnp.where(better, x, best_x)
-            best_v = jnp.maximum(v, best_v)
+            best_x, best_v = record_best(x, v, best_x, best_v)
             updates, opt_state = opt.update(-g, opt_state, x)
             x = optax.apply_updates(x, updates)
             return (x, opt_state, best_x, best_v), None
@@ -117,15 +125,13 @@ def find_map(
         )
         # The final iterate may beat the best recorded pre-update value.
         vf, _ = value_and_grad(x)
-        improved = vf > best_v
-        best_x = jnp.where(improved, x, best_x)
-        best_v = jnp.maximum(vf, best_v)
-        return best_x, best_v
+        return record_best(x, vf, best_x, best_v)
 
     xs, vs = jax.jit(jax.vmap(one_start))(starts)
     if single:
         return xs[0], vs[0]
     if return_all:
         return xs, vs
-    i = jnp.argmax(vs)
+    # NaN-safe winner selection (argmax prefers NaN).
+    i = jnp.argmax(jnp.where(jnp.isnan(vs), -jnp.inf, vs))
     return xs[i], vs[i]

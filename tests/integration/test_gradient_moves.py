@@ -80,6 +80,32 @@ def test_chees_normal():
     )
 
 
+def test_chees_production_skips_gradient_machinery():
+    """wants_tune_flag contract: with tune=False the ChEES gradient is
+    never estimated (the carry's pending gradient stays zero), while a
+    tune=True run populates it."""
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    p0 = np.random.default_rng(0).normal(size=(32, 2))
+    s = EnsembleSampler(
+        32, 2, lp,
+        moves=moves.ChEESHMCMove(0.5, trajectory_length=1.0),
+        vectorize=True, seed=0,
+    )
+    s.run_mcmc(p0, 10)  # production: no adaptation work
+    assert float(s._move_carries[0]["g"]) == 0.0
+    s.run_mcmc(None, 10, tune=True)
+    # The tuned run estimated gradients (and adapted log_T off its
+    # too-short initial value).
+    carry = s._move_carries[0]
+    assert float(carry["k"]) > 0
+    assert float(np.abs(carry["log_T"])) != np.log(1.0) or float(
+        carry["m"]
+    ) != 0.0
+
+
 def test_chees_adapts_trajectory_and_beats_fixed_l():
     """On an ill-conditioned diagonal Gaussian the ChEES criterion must
     stretch the trajectory length well past its (deliberately short)

@@ -92,6 +92,30 @@ def test_rhat_flags_stuck_chain():
     assert rhat(x, rank_normalized=False)[0] > 1.5
 
 
+def test_rhat_collapsed_ensemble_is_nan_not_one():
+    """A fully collapsed ensemble (all draws exactly tied) must surface
+    the degeneracy as NaN, not report a healthy R-hat — requires
+    average (not ordinal) tie ranks in the rank-normalization."""
+    from emcee_tpu.autocorr import rhat
+
+    x = np.full((200, 8, 2), 3.14)
+    r = rhat(x)
+    assert np.all(np.isnan(r)), r
+
+
+def test_rhat_heavy_ties_consistent_with_scipy_ranks():
+    """Chains with many exact ties (rejection runs) use average-rank
+    semantics, matching scipy.stats.rankdata."""
+    from emcee_tpu.autocorr import rhat
+
+    rng = np.random.default_rng(7)
+    # Discretized draws: lots of exact ties, identical distribution
+    # across chains -> R-hat must still sit near 1.
+    x = np.round(rng.normal(size=(1000, 8, 1)) * 2) / 2
+    r = rhat(x)
+    assert r[0] < 1.02, r
+
+
 def test_rhat_split_catches_drift():
     """A mean drift inside every chain is invisible to unsplit R-hat but
     caught by the split variant."""

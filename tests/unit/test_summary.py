@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 import emcee_tpu
-from emcee_tpu.summary import hdi, summary, _posterior_dict
+from emcee_tpu.stats import hdi, summary, _posterior_dict
 
 
 def test_hdi_normal():
@@ -134,6 +134,17 @@ def test_summary_pt_cold_chain():
     rep = summary(pt.get_chain(temp=0, discard=100))
     assert np.all(np.abs(rep["mean"]) < 0.3)
     assert np.all(rep["sd"] > 0.7)
+
+
+def test_stats_module_not_shadowed_by_function():
+    """The implementation module is emcee_tpu.stats so the summary()
+    re-export cannot shadow it (module/function name collision)."""
+    import importlib
+
+    mod = importlib.import_module("emcee_tpu.stats")
+    assert callable(mod.hdi) and callable(mod.summary)
+    assert emcee_tpu.stats is mod
+    assert callable(emcee_tpu.summary)  # top-level name is the function
 
 
 def test_to_inference_data_requires_arviz():

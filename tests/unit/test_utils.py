@@ -7,6 +7,16 @@ import pytest
 
 from emcee_tpu import utils
 
+try:
+    import optax  # noqa: F401
+
+    HAS_OPTAX = True
+except ImportError:  # pragma: no cover
+    HAS_OPTAX = False
+needs_optax = pytest.mark.skipif(
+    not HAS_OPTAX, reason="optax not installed (pip install emcee-tpu[optim])"
+)
+
 
 def test_sample_ball_shape_and_scatter():
     p0 = jnp.array([1.0, -2.0, 3.0])
@@ -26,6 +36,7 @@ def test_sample_ellipsoid_cov():
     assert np.allclose(emp, cov, atol=0.05)
 
 
+@needs_optax
 def test_find_map_quadratic():
     mu = jnp.array([2.0, -1.0, 0.5])
 
@@ -37,6 +48,7 @@ def test_find_map_quadratic():
     assert abs(float(v)) < 1e-3
 
 
+@needs_optax
 def test_find_map_multistart_picks_global_mode():
     # Two Gaussian modes; the one at +3 is taller.
     def lp(x):
@@ -53,6 +65,7 @@ def test_find_map_multistart_picks_global_mode():
     assert np.allclose(np.asarray(xs[0]), -3.0, atol=0.05)
 
 
+@needs_optax
 def test_find_map_hard_prior_boundary():
     """-inf prior outside (0, 10): nonfinite gradients must not poison
     the iterate when the optimum is interior."""
@@ -68,6 +81,7 @@ def test_find_map_hard_prior_boundary():
     assert np.allclose(np.asarray(x_map), 4.0, atol=0.05)
 
 
+@needs_optax
 def test_find_map_blob_log_prob():
     def lp(x):
         return -0.5 * jnp.sum(x**2), jnp.sum(x)  # (lp, blob)
@@ -76,11 +90,28 @@ def test_find_map_blob_log_prob():
     assert np.allclose(np.asarray(x_map), 0.0, atol=1e-2)
 
 
+@needs_optax
+def test_find_map_nan_start_does_not_win():
+    """A start whose log-prob is NaN must not poison best-tracking or
+    be selected by the multi-start argmax."""
+
+    def lp(x):
+        # NaN for x0 < 0 (sqrt of a negative), mode at (1, 1).
+        return -0.5 * jnp.sum((x - 1.0) ** 2) + 0.0 * jnp.sqrt(x[0])
+
+    starts = jnp.array([[-2.0, 0.0], [2.0, 2.0]])
+    x_map, v = utils.find_map(lp, starts, steps=1000)
+    assert np.isfinite(float(v))
+    assert np.allclose(np.asarray(x_map), 1.0, atol=0.05)
+
+
+@needs_optax
 def test_find_map_bad_shape():
     with pytest.raises(ValueError):
         utils.find_map(lambda x: -jnp.sum(x**2), jnp.zeros((2, 2, 2)))
 
 
+@needs_optax
 def test_find_map_line_fit_workflow():
     """The reference line-fit tutorial's init step, end to end: MAP then
     ball-init walkers."""
