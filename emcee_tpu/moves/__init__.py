@@ -7,13 +7,16 @@ concrete ``StretchMove``, ``WalkMove``, ``DEMove``, ``DESnookerMove``,
 ``BlendedMove`` (fused mixtures), ``EnsembleSliceMove`` (zeus-style
 rejection-free slice sampling — see ``moves/slice.py``), and the
 gradient-based family ``MALAMove`` / ``HMCMove`` / ``EnsembleMALAMove``
-/ ``EnsembleHMCMove`` (JAX autodiff — see ``moves/gradient.py``).
+/ ``EnsembleHMCMove`` (JAX autodiff — see ``moves/gradient.py``), and
+``DIMEMove`` (adaptive-independence + DE mixture for multimodal targets
+— see ``moves/dime.py``).
 """
 
 from .base import Move
 from .blended import BlendedMove
 from .de import DEMove
 from .de_snooker import DESnookerMove
+from .dime import DIMEMove
 from .gradient import (
     ChEESHMCMove,
     EnsembleHMCMove,
@@ -40,6 +43,7 @@ __all__ = [
     "KDEMove",
     "DEMove",
     "DESnookerMove",
+    "DIMEMove",
     "SideMove",
     "EnsembleSliceMove",
     "BlendedMove",

@@ -68,6 +68,11 @@ class RedBlueMove(ScaleTunable, Move):
 
     #: subclasses that accept the ``scale`` keyword opt in.
     tunable = False
+    #: subclasses whose proposal reads the move carry (adaptive moves —
+    #: e.g. DIMEMove's running proposal-distribution moments) opt in;
+    #: their ``get_proposal`` receives a ``carry`` keyword and
+    #: :meth:`update_carry` runs once per proposal, after all splits.
+    wants_carry = False
     #: False for moves whose update is not a (q, factors) proposal
     #: (e.g. the slice move) — they cannot participate in BlendedMove's
     #: shared-evaluation blending.
@@ -145,8 +150,15 @@ class RedBlueMove(ScaleTunable, Move):
             split_keys, log_acc_u, extra_u, state, model, carry, ng, scale
         )
 
+    def update_carry(self, carry, state, model):
+        """Post-proposal adaptation of the move carry (``wants_carry``
+        moves only); ``state`` is the post-accept ensemble.  Runs every
+        proposal, independent of the ``tune`` flag — adaptive-proposal
+        moves (DIME) adapt always, by construction."""
+        return carry
+
     def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model,
-               extra=None, scale=None):
+               extra=None, scale=None, carry=None):
         """Propose/evaluate/accept for one group; returns selected values."""
         if model.axis_name is not None:
             # Each shard proposes against the full global complement.
@@ -159,6 +171,8 @@ class RedBlueMove(ScaleTunable, Move):
             kw["extra"] = extra
         if scale is not None:
             kw["scale"] = scale
+        if self.wants_carry:
+            kw["carry"] = carry
         q, factors = self.get_proposal(k, s, c_parts, model, **kw)
         new_lp, new_blobs = model.compute_log_prob(q)
         lnpdiff = factors + new_lp - lp_s
@@ -207,6 +221,7 @@ class RedBlueMove(ScaleTunable, Move):
                 model,
                 extra=None if extra_u is None else extra_u[split],
                 scale=scale,
+                carry=carry,
             )
             coords = coords.at[idx].set(sel_c)
             log_prob = log_prob.at[idx].set(sel_lp)
@@ -222,11 +237,12 @@ class RedBlueMove(ScaleTunable, Move):
                 )
             accepted = accepted.at[idx].set(acc)
 
-        return (
-            state._replace(coords=coords, log_prob=log_prob, blobs=blobs),
-            accepted,
-            carry,
+        new_state = state._replace(
+            coords=coords, log_prob=log_prob, blobs=blobs
         )
+        if self.wants_carry:
+            carry = self.update_carry(carry, new_state, model)
+        return new_state, accepted, carry
 
     def _propose_blocked(
         self, split_keys, log_acc_u, extra_u, state, model, carry, ng,
@@ -271,6 +287,7 @@ class RedBlueMove(ScaleTunable, Move):
                 model,
                 extra=None if extra_u is None else extra_u[split],
                 scale=scale,
+                carry=carry,
             )
             lo = split * ng
             coords = jax.lax.dynamic_update_slice(
@@ -298,4 +315,6 @@ class RedBlueMove(ScaleTunable, Move):
         new_state = state._replace(
             coords=coords, log_prob=log_prob, blobs=blobs
         )
+        if self.wants_carry:
+            carry = self.update_carry(carry, new_state, model)
         return new_state, jnp.concatenate(accs), carry

@@ -88,8 +88,8 @@ def _tau_from_f(f, c, n_t):
 _tau_from_f_jit = jax.jit(_tau_from_f, static_argnums=(1, 2))
 
 
-def _tau_estimates(x, c):
-    """(n_t, n_w, n_d) -> per-dim tau; walker axis processed in chunks.
+def _walker_mean_acf(x):
+    """(n_t, n_w, n_d) -> walker-averaged ACF (n_t, n_d), chunked.
 
     The padded FFT intermediates are ~``2 * next_pow_two(n_t)`` floats per
     (walker, dim) series; at 1e5 walkers that is multiple GB, so the
@@ -104,17 +104,52 @@ def _tau_estimates(x, c):
     for lo in range(0, n_w, chunk):
         part = _mean_acf_jit(x[:, lo : lo + chunk, :])
         f = part if f is None else f + part
-    f = f / n_w
-    return _tau_from_f_jit(f, float(c), n_t)
+    return f / n_w
 
 
-def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True):
+def _tau_estimates(x, c):
+    n_t = x.shape[0]
+    return _tau_from_f_jit(_walker_mean_acf(x), float(c), n_t)
+
+
+def _tau_geyer(f):
+    """Geyer (1992) initial-monotone-sequence tau from the
+    walker-averaged ACF ``f`` (n_t, n_d) — the Stan / arviz convention.
+
+    Adjacent-lag pair sums ``G_k = rho_{2k} + rho_{2k+1}`` of a
+    reversible chain are positive and decreasing; truncate at the first
+    non-positive pair, enforce monotonicity with a running minimum, and
+    ``tau = -1 + 2 * sum_k G_k``.
+    """
+    f = np.asarray(f, dtype=np.float64)
+    npairs = f.shape[0] // 2
+    if npairs < 1:
+        return np.full(f.shape[1:], np.nan)
+    g = f[0 : 2 * npairs : 2] + f[1 : 2 * npairs : 2]
+    pos = g > 0.0
+    k_stop = np.where(
+        np.any(~pos, axis=0), np.argmin(pos, axis=0), npairs
+    )
+    g_mono = np.minimum.accumulate(g, axis=0)
+    keep = np.arange(npairs)[:, None] < k_stop[None, :]
+    return -1.0 + 2.0 * np.sum(np.where(keep, g_mono, 0.0), axis=0)
+
+
+def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True,
+                    method="sokal"):
     """Estimate the integrated autocorrelation time.
 
     Accepts ``(n_step,)``, ``(n_step, n_walker)`` (or ``(n_step, n_param)``
     with ``has_walkers=False``), or ``(n_step, n_walker, n_param)`` arrays;
     same semantics, tolerances, and error behavior as the reference
     (``autocorr.py:49-123``).
+
+    ``method`` selects the truncation rule applied to the walker-averaged
+    ACF: ``"sokal"`` (the reference's automated window, ``c * tau``) or
+    ``"geyer"`` (initial monotone sequence — the Stan / arviz
+    convention; ``c`` is ignored).  Both agree within MC error on
+    well-behaved chains; Geyer is the more conservative choice on short
+    or noisy ones.
     """
     x = jnp.atleast_1d(jnp.asarray(x))
     if x.ndim == 1:
@@ -125,7 +160,12 @@ def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True):
         raise ValueError("invalid dimensions")
 
     n_t = x.shape[0]
-    tau_est, _ = _tau_estimates(x, float(c))
+    if method == "sokal":
+        tau_est, _ = _tau_estimates(x, float(c))
+    elif method == "geyer":
+        tau_est = _tau_geyer(_walker_mean_acf(x))
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     tau_est = np.asarray(tau_est, dtype=np.float64)
 
     flag = tol * tau_est > n_t
@@ -143,7 +183,7 @@ def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True):
     return tau_est
 
 
-def ess(x, c=5, tol=50, quiet=False, has_walkers=True):
+def ess(x, c=5, tol=50, quiet=False, has_walkers=True, method="sokal"):
     """Effective sample size per parameter.
 
     ``n_step * n_walker / tau`` with tau from :func:`integrated_time` —
@@ -154,7 +194,8 @@ def ess(x, c=5, tol=50, quiet=False, has_walkers=True):
     """
     x = jnp.atleast_1d(jnp.asarray(x))
     tau = integrated_time(
-        x, c=c, tol=tol, quiet=quiet, has_walkers=has_walkers
+        x, c=c, tol=tol, quiet=quiet, has_walkers=has_walkers,
+        method=method,
     )
     n_t = x.shape[0]
     n_w = x.shape[1] if (x.ndim >= 2 and has_walkers) else 1

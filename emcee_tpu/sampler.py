@@ -100,6 +100,13 @@ class EnsembleSampler:
             ``jax.pure_callback`` (no blobs on this path).
         pool: accepted for API compatibility and ignored — parallelism is
             expressed through ``mesh``, not process pools.
+        io_dtype: optional float dtype for *stored* chain coords and float
+            blob leaves (e.g. ``np.float16``).  Casting happens inside the
+            jitted chunk, before the device->host transfer, so it halves
+            streaming bytes (or, with a ``DeviceBackend``, the HBM chain
+            footprint).  The live sampling state and ``log_prob`` stay full
+            precision.  Pair with ``Backend(dtype=...)`` /
+            ``HDFBackend(dtype=...)`` to keep the host copy compact too.
     """
 
     def __init__(
@@ -124,6 +131,7 @@ class EnsembleSampler:
         io_chunk_bytes: int = 1 << 27,
         scan_unroll: int = 4,
         mixture_block: int = 1,
+        io_dtype=None,
     ):
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
@@ -210,6 +218,20 @@ class EnsembleSampler:
         self._mixture_block = int(mixture_block)
         if self._mixture_block < 1:
             raise ValueError("mixture_block must be >= 1")
+        # Reduced-precision chain streaming: stored coords (and float blob
+        # leaves) are cast to this dtype *inside the jitted chunk*, before
+        # they cross the device->host boundary — halving transfer bytes
+        # (float16) on the bandwidth-bound streaming path, or halving the
+        # HBM footprint of a DeviceBackend-resident chain (bfloat16).
+        # log_prob is never cast (its magnitude can exceed float16 range
+        # for large datasets); the live sampling state stays full
+        # precision — only the *stored* copies are compressed.
+        if io_dtype is None:
+            self._io_dtype = None
+        else:
+            self._io_dtype = jnp.dtype(io_dtype)
+            if not jnp.issubdtype(self._io_dtype, jnp.floating):
+                raise ValueError("io_dtype must be a floating dtype")
 
         # Canonical batched log-prob (settings kept for re-wrapping after
         # unpickling — the wrapped closure itself is not picklable).
@@ -578,9 +600,11 @@ class EnsembleSampler:
                 state, accepted, carries = step(state, carries)
                 if store:
                     out = (
-                        state.coords,
+                        self._cast_io(state.coords),
                         state.log_prob,
-                        state.blobs,
+                        jax.tree_util.tree_map(
+                            self._cast_io, state.blobs
+                        ),
                         accepted,
                     )
                 else:
@@ -753,14 +777,32 @@ class EnsembleSampler:
         )
         return _BlobStruct(treedef, shapes, state.blobs)
 
+    def _cast_io(self, x):
+        """Cast a stored float array to ``io_dtype`` (traced; see ctor)."""
+        if (
+            self._io_dtype is None
+            or not jnp.issubdtype(x.dtype, jnp.floating)
+        ):
+            return x
+        return x.astype(self._io_dtype)
+
+    def _io_itemsize(self, dtype):
+        if self._io_dtype is not None and jnp.issubdtype(
+            dtype, jnp.floating
+        ):
+            return self._io_dtype.itemsize
+        return dtype.itemsize
+
     def _auto_chunk(self, state, thin_by):
         """Kept-steps per device dispatch, bounded by io_chunk_bytes."""
-        bytes_per_step = state.coords.size * state.coords.dtype.itemsize
+        bytes_per_step = state.coords.size * self._io_itemsize(
+            state.coords.dtype
+        )
         bytes_per_step += state.log_prob.size * state.log_prob.dtype.itemsize
         bytes_per_step += state.nwalkers * 4
         if state.blobs is not None:
             for leaf in jax.tree_util.tree_leaves(state.blobs):
-                bytes_per_step += leaf.size * leaf.dtype.itemsize
+                bytes_per_step += leaf.size * self._io_itemsize(leaf.dtype)
         n = max(1, self._io_chunk_bytes // max(1, bytes_per_step))
         # Cap the scan length: dispatch overhead on the tunneled runtime
         # keeps paying off up to ~4096 steps/chunk (chunk-length sweep in
@@ -837,7 +879,10 @@ class EnsembleSampler:
         blobs_struct = self._blobs_struct(state)
 
         if store:
-            self.backend.grow(iterations, state.blobs)
+            self.backend.grow(
+                iterations,
+                jax.tree_util.tree_map(self._cast_io, state.blobs),
+            )
 
         run1 = self._get_run_chunk(1, thin_by, store, tune, blobs_struct)
 
@@ -893,7 +938,10 @@ class EnsembleSampler:
         blobs_struct = self._blobs_struct(state)
 
         if store:
-            self.backend.grow(nsteps, state.blobs)
+            self.backend.grow(
+                nsteps,
+                jax.tree_util.tree_map(self._cast_io, state.blobs),
+            )
 
         schedule = self._chunk_schedule(
             nsteps, self._auto_chunk(state, thin_by)
@@ -907,30 +955,46 @@ class EnsembleSampler:
             nwalkers=self.nwalkers,
         )
         t_run = time.perf_counter()
-        with get_progress_bar(progress, total, **progress_kwargs) as pbar:
-            pending = None  # overlap: fetch chunk k while k+1 computes
-            for n in schedule:
-                t_chunk = time.perf_counter()
-                run = self._get_run_chunk(
-                    n, thin_by, store, tune, blobs_struct
-                )
-                state, carries, out = run(state, carries)
-                if store:
-                    if pending is not None:
-                        self._save_chunk(*pending)
-                    pending = (out, state.random_state)
-                stats.chunks += 1
-                stats.chunk_times.append(time.perf_counter() - t_chunk)
-                pbar.update(n * thin_by)
+        pending = None  # overlap: fetch chunk k while k+1 computes
+        try:
+            with get_progress_bar(
+                progress, total, **progress_kwargs
+            ) as pbar:
+                for n in schedule:
+                    t_chunk = time.perf_counter()
+                    run = self._get_run_chunk(
+                        n, thin_by, store, tune, blobs_struct
+                    )
+                    state, carries, out = run(state, carries)
+                    if store:
+                        if pending is not None:
+                            # Consume before saving: a KeyboardInterrupt
+                            # landing inside _save_chunk must not trigger
+                            # a second (double-appending) save from the
+                            # finally block below.
+                            p, pending = pending, None
+                            self._save_chunk(*p)
+                        pending = (out, state.random_state)
+                    stats.chunks += 1
+                    stats.chunk_times.append(time.perf_counter() - t_chunk)
+                    pbar.update(n * thin_by)
+        finally:
+            # Interrupt safety: every *completed* chunk reaches the
+            # backend even when the loop is killed mid-run (Ctrl-C, a
+            # preemption signal raised in-process) — the reference gets
+            # this for free by writing per step (hdf.py:243-267); here at
+            # most the in-flight chunk is lost.  The resume anchors
+            # (_previous_state / _move_carries) stay consistent with
+            # whatever landed, so run_mcmc(None, n) continues cleanly.
             if store and pending is not None:
                 self._save_chunk(*pending)
+            self._move_carries = carries
+            self._previous_state = state
 
-        # Block so failures surface here, then remember the state.
+        # Block so failures surface here.
         jax.block_until_ready(state.coords)
         stats.walltime_s = time.perf_counter() - t_run
         self.last_run_stats = stats
-        self._move_carries = carries
-        self._previous_state = state
         return state
 
     def _save_chunk(self, out, key):

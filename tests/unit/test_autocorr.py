@@ -200,3 +200,26 @@ def test_ess():
     assert np.all(n_eff_w > 100000 / 19.0)  # more than one walker's worth
     with pytest.raises(AutocorrError):
         ess(get_chain(N=100)[:, None, :])
+
+
+def test_geyer_matches_known_tau():
+    # Same AR(1) oracle through the Geyer initial-monotone-sequence rule.
+    x = get_chain(ndim=1, N=250000)[:, 0]
+    tau = integrated_time(x, method="geyer")
+    assert np.all(np.abs(tau - 19.0) / 19.0 < 0.2)
+    # And the two truncation rules agree on a well-behaved chain.
+    tau_sokal = integrated_time(x)
+    assert np.all(np.abs(tau - tau_sokal) / tau_sokal < 0.15)
+
+
+def test_geyer_white_noise():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(40000, 4, 2))
+    tau = integrated_time(x, method="geyer", quiet=True)
+    assert tau.shape == (2,)
+    assert np.all(np.abs(tau - 1.0) < 0.2)
+
+
+def test_unknown_method_raises():
+    with pytest.raises(ValueError, match="unknown method"):
+        integrated_time(np.zeros(100), method="wrong")

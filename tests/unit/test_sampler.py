@@ -367,3 +367,90 @@ def test_pickling_with_gradient_move():
     s2.run_mcmc(None, 5)
     assert s2.get_chain().shape[0] == 10  # backend state survives pickle
     assert np.all(np.isfinite(np.asarray(s2.get_chain())))
+
+
+def test_io_dtype_casts_stored_chain():
+    """io_dtype compresses only the *stored* copies: chain coords (and
+    float blob leaves) land in the requested dtype while the live state
+    and log_prob stay full precision, and the chain statistics match the
+    full-precision run to float16 resolution."""
+    nwalkers, ndim, nsteps = 32, 3, 40
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(3), (nwalkers, ndim))
+    )
+
+    def lp_with_blobs(x):
+        lp = -0.5 * jnp.sum(x**2)
+        return lp, (2.0 * lp, jnp.int32(1))
+
+    def run(io_dtype):
+        s = EnsembleSampler(
+            nwalkers,
+            ndim,
+            lp_with_blobs,
+            seed=7,
+            backend=backends.Backend(
+                dtype=np.float16 if io_dtype else None
+            ),
+            io_dtype=io_dtype,
+        )
+        state = s.run_mcmc(coords, nsteps)
+        return s, state
+
+    s16, state16 = run(np.float16)
+    s32, state32 = run(None)
+
+    assert s16.backend.chain.dtype == np.float16
+    blob16 = s16.get_blobs()
+    assert blob16[0].dtype == np.float16  # float leaf compressed
+    assert blob16[1].dtype == np.int32  # non-float leaf untouched
+    # Live state keeps full precision regardless of io_dtype.
+    assert state16.coords.dtype == state32.coords.dtype
+    assert state16.log_prob.dtype == state32.log_prob.dtype
+    # Same chain up to the storage cast (identical keys -> identical
+    # trajectories; only the stored copy is rounded).
+    np.testing.assert_allclose(
+        np.asarray(s16.get_chain(), dtype=np.float64),
+        np.asarray(s32.get_chain(), dtype=np.float64),
+        rtol=0,
+        atol=2e-2,
+    )
+
+
+def test_io_dtype_rejects_non_float():
+    with pytest.raises(ValueError, match="floating"):
+        EnsembleSampler(8, 2, normal_log_prob, io_dtype=np.int32)
+
+
+def test_interrupted_run_keeps_completed_chunks():
+    """A KeyboardInterrupt mid-run flushes every completed chunk to the
+    backend and leaves the sampler resumable via run_mcmc(None, n)."""
+    nwalkers, ndim = 32, 3
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(5), (nwalkers, ndim))
+    )
+    # ~640 B/step -> 5 kept steps per chunk -> schedule [5, 5, 5, 5].
+    s = EnsembleSampler(
+        nwalkers, ndim, normal_log_prob, seed=11, io_chunk_bytes=3200
+    )
+    orig = s._get_run_chunk
+    calls = {"n": 0}
+
+    def interrupting(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+        return orig(*a, **k)
+
+    s._get_run_chunk = interrupting
+    with pytest.raises(KeyboardInterrupt):
+        s.run_mcmc(coords, 20)
+
+    saved = s.backend.iteration
+    assert saved == 10  # two completed 5-step chunks, incl. the pending one
+    assert np.all(np.isfinite(s.get_chain()))
+
+    s._get_run_chunk = orig
+    s.run_mcmc(None, 20 - saved)
+    assert s.backend.iteration == 20
+    assert s.get_chain().shape == (20, nwalkers, ndim)

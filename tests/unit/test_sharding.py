@@ -259,3 +259,35 @@ def test_sharded_ensemble_mala():
     s.run_mcmc(p0, 600)
     flat = np.asarray(s.get_chain(flat=True, discard=150))
     assert np.all(np.abs(flat.std(axis=0) - 1) < 0.08)
+
+
+def test_sharded_dime_matches_dense_statistics():
+    """DIMEMove sharded: carry moments pool via psum; the sharded chain
+    must match a dense run statistically and the proposal moments must
+    adapt to the target on both paths."""
+    mesh = walker_mesh()
+    nsteps = 800
+    s_sh = _run(mesh, move=moves.DIMEMove(), nwalkers=64, nsteps=nsteps)
+    s_dn = _run(None, move=moves.DIMEMove(), nwalkers=64, nsteps=nsteps)
+
+    for s in (s_sh, s_dn):
+        chain = np.asarray(s.get_chain(flat=True, discard=nsteps // 4))
+        assert np.all(np.abs(chain.mean(0)) < 0.15)
+        assert np.all(np.abs(chain.std(0) - 1) < 0.12)
+        carry = s._move_carries[0]
+        mean = np.asarray(carry["mean"])
+        cov = np.asarray(carry["m2"]) - np.outer(mean, mean)
+        assert np.all(np.abs(mean) < 0.3)
+        assert np.all(np.abs(cov - np.eye(3)) < 0.4)
+
+
+def test_sharded_dime_in_mixture():
+    """DIME's dict carry threads through the lax.switch mixture path."""
+    mesh = walker_mesh()
+    s = _run(
+        mesh,
+        move=[(moves.StretchMove(), 0.7), (moves.DIMEMove(), 0.3)],
+        nsteps=100,
+    )
+    assert s.get_chain().shape == (100, 64, 3)
+    assert np.all(np.isfinite(s.get_chain()))
