@@ -271,6 +271,52 @@ def main():
     ess_mala = nwalkers * mala_steps_per_sec / tau_mala
     _phase("mala stage done")
 
+    # Gradient-free ESS headline: DIME with a pure Gaussian adaptive
+    # independence proposal (df=None).  Once the proposal moments have
+    # locked onto the target, draws are near-iid (probe: tau 1.0,
+    # acceptance 0.9998, 3.1e8 ESS/s — above MALA's 2.2e8 and 13x the
+    # stretch ESS rate).  Honest caveat: a Gaussian target is this
+    # proposal's best case (docs/performance.md).
+    _phase("dime stage start")
+    dime = EnsembleSampler(
+        nwalkers,
+        ndim,
+        log_prob,
+        vectorize=True,
+        seed=3,
+        moves=moves.DIMEMove(
+            aimh_prob=1.0, df=None, randomize_split=False
+        ),
+        scan_unroll=8,
+        backend=DeviceBackend(),
+        io_chunk_bytes=1 << 30,
+    )
+    d_kept, d_thin = 400, 1
+    d_st = dime.run_mcmc(
+        State(coords, random_state=jax.random.key(4)),
+        d_kept,
+        thin_by=d_thin,
+        skip_initial_state_check=True,
+    )
+    _phase("dime compiled+warm")
+    d_chain = np.asarray(dime.get_chain()[:, :512, :])
+    tau_dime = max(
+        float(np.max(_np_integrated_time(d_chain))) * d_thin, 1.0
+    )
+    _phase("dime tau done")
+    dt_d = float("inf")
+    for _ in range(2):
+        dime.backend.reset(nwalkers, ndim)
+        t4 = time.perf_counter()
+        d_st = dime.run_mcmc(
+            d_st, d_kept, thin_by=d_thin, skip_initial_state_check=True
+        )
+        float(jnp.sum(d_st.log_prob))
+        dt_d = min(dt_d, time.perf_counter() - t4)
+    dime_steps_per_sec = d_kept * d_thin / dt_d
+    ess_dime = nwalkers * dime_steps_per_sec / tau_dime
+    _phase("dime stage done")
+
     print(
         json.dumps(
             {
@@ -282,6 +328,14 @@ def main():
                 ),
                 "ess_per_sec": round(ess_per_sec, 1),
                 "ess_per_sec_mala": round(ess_mala, 1),
+                "ess_per_sec_dime": round(ess_dime, 1),
+                "dime_tau_proposals": round(tau_dime, 2),
+                "dime_walker_steps_per_sec": round(
+                    nwalkers * dime_steps_per_sec, 1
+                ),
+                "dime_basis": "gradient-free adaptive independence "
+                "(DIMEMove df=None), DeviceBackend, same basis as "
+                "ess_per_sec",
                 "ess_mala_basis": "run_mcmc through DeviceBackend, "
                 "same as ess_per_sec",
                 "mala_walker_steps_per_sec": round(

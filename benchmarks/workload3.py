@@ -36,6 +36,14 @@ def main():
         default=1,
         help="mixture_block: draw the move once per this many kept steps",
     )
+    ap.add_argument(
+        "--ess",
+        action="store_true",
+        help="measure effective samples/s (DeviceBackend storage + tau) "
+        "instead of raw walker-steps/s",
+    )
+    ap.add_argument("--kept", type=int, default=256)
+    ap.add_argument("--thin", type=int, default=4)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -73,6 +81,13 @@ def main():
         # evals per kept step, repaid in mixing time — compare ESS/s,
         # not raw walker-steps/s.
         "slice": moves.EnsembleSliceMove(randomize_split=False),
+        # Adaptive-independence mixture: once the t-proposal has learned
+        # the (Gaussian) target, independence draws are near-uncorrelated
+        # — compare with --ess, not raw walker-steps/s.
+        "dime": moves.DIMEMove(randomize_split=False),
+        "dime-aimh": moves.DIMEMove(
+            aimh_prob=1.0, randomize_split=False
+        ),
     }[args.config]
 
     sampler = EnsembleSampler(
@@ -100,6 +115,58 @@ def main():
         True
     )
     carries = sampler._init_carries()
+
+    if args.ess:
+        # ESS/s: run_mcmc through device-HBM storage (same basis as
+        # bench.py's ess_per_sec), tau from a walker/dim subset of the
+        # stored chain (fetching the full (kept, 1e4, 100) block over
+        # the tunnel would cost more than the run).
+        from emcee_tpu.backends import DeviceBackend
+
+        sampler.backend = DeviceBackend()
+        sampler.backend.reset(args.walkers, args.ndim)
+        st = sampler.run_mcmc(
+            state, args.kept, thin_by=args.thin,
+            skip_initial_state_check=True,
+        )
+        chain_sub = np.asarray(sampler.get_chain()[:, :512, :16])
+        dt = float("inf")
+        for _ in range(2):
+            sampler.backend.reset(args.walkers, args.ndim)
+            t0 = time.perf_counter()
+            st = sampler.run_mcmc(
+                st, args.kept, thin_by=args.thin,
+                skip_initial_state_check=True,
+            )
+            float(jnp.sum(st.log_prob))  # forced sync
+            dt = min(dt, time.perf_counter() - t0)
+
+        from emcee_tpu.ops.autocorr import integrated_time
+
+        # Pin tau estimation to the host CPU device: an eager TPU FFT
+        # would cost a full remote compile (CLAUDE.md).
+        with jax.default_device(jax.devices("cpu")[0]):
+            tau = np.max(
+                integrated_time(chain_sub, quiet=True)
+            ) * args.thin  # proposal units
+        proposals_per_sec = args.kept * args.thin / dt
+        ess_per_sec = args.walkers * proposals_per_sec / tau
+        print(
+            json.dumps(
+                {
+                    "metric": f"workload3_{args.config}_ess_per_sec",
+                    "value": round(ess_per_sec, 1),
+                    "unit": "effective-samples/s",
+                    "tau_proposals": round(float(tau), 2),
+                    "walker_steps_per_sec": round(
+                        args.walkers * proposals_per_sec, 1
+                    ),
+                    "kept": args.kept,
+                    "thin_by": args.thin,
+                }
+            )
+        )
+        return
 
     run = sampler._get_run_chunk(args.steps, 1, False, False, None)
     st, c, _ = run(state, carries)

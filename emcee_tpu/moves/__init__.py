@@ -16,6 +16,7 @@ from .base import Move
 from .blended import BlendedMove
 from .de import DEMove
 from .de_snooker import DESnookerMove
+from .de_z import DEZMove
 from .dime import DIMEMove
 from .gradient import (
     ChEESHMCMove,
@@ -43,6 +44,7 @@ __all__ = [
     "KDEMove",
     "DEMove",
     "DESnookerMove",
+    "DEZMove",
     "DIMEMove",
     "SideMove",
     "EnsembleSliceMove",

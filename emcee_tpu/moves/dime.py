@@ -52,6 +52,10 @@ class DIMEMove(RedBlueMove):
             proposal instead of a DE step (default 0.1).
         df: degrees of freedom of the Student-t independence proposal
             (default 10; must be > 2 so the shape matrix is defined).
+            ``df=None`` uses a *Gaussian* independence proposal instead —
+            no chi2 draws, ~2x cheaper per step, the right choice once
+            the target is known to be light-tailed (heavy t tails only
+            buy robustness while the moments are still being learned).
         rho: per-proposal decay of the historical-moment weight
             (default 0.999 — long memory, slow drift).
     """
@@ -69,9 +73,9 @@ class DIMEMove(RedBlueMove):
         self.aimh_prob = float(aimh_prob)
         if not 0.0 <= self.aimh_prob <= 1.0:
             raise ValueError("aimh_prob must be in [0, 1]")
-        self.df = float(df)
-        if self.df <= 2.0:
-            raise ValueError("df must be > 2")
+        self.df = None if df is None else float(df)
+        if self.df is not None and self.df <= 2.0:
+            raise ValueError("df must be > 2 (or None for Gaussian)")
         self.rho = float(rho)
         if not 0.0 <= self.rho < 1.0:
             raise ValueError("rho must be in [0, 1)")
@@ -101,8 +105,10 @@ class DIMEMove(RedBlueMove):
         return mean, cov, (mean, m2, total)
 
     def _t_shape_chol(self, cov, ndim, dtype):
-        """Cholesky of the Student-t shape matrix S = cov (df-2)/df."""
-        scale = (self.df - 2.0) / self.df
+        """Cholesky of the proposal shape matrix: ``cov * (df-2)/df``
+        for the Student-t (so its covariance equals ``cov``), or ``cov``
+        itself for the Gaussian (``df=None``)."""
+        scale = 1.0 if self.df is None else (self.df - 2.0) / self.df
         eps = 1e-6 * (jnp.trace(cov) / ndim) + 1e-12
         S = cov * scale + eps * jnp.eye(ndim, dtype=dtype)
         return jnp.linalg.cholesky(S)
@@ -134,40 +140,54 @@ class DIMEMove(RedBlueMove):
             key, 6
         )
 
-        # Independence component: x = mu + (z L^T) * sqrt(df / chi2_df).
+        # Independence component: x = mu + (z L^T) * sqrt(df / chi2_df)
+        # (t), or plain x = mu + z L^T (Gaussian, df=None).
         z = jax.random.normal(key_z, (ns, ndim), dtype=dtype)
-        chi2 = 2.0 * jax.random.gamma(
-            key_g, self.df / 2.0, (ns,), dtype=dtype
-        )
-        t_scale = jnp.sqrt(self.df / chi2)
-        q_t = mean + (z @ L.T) * t_scale[:, None]
+        if self.df is None:
+            q_t = mean + z @ L.T
+        else:
+            chi2 = 2.0 * jax.random.gamma(
+                key_g, self.df / 2.0, (ns,), dtype=dtype
+            )
+            t_scale = jnp.sqrt(self.df / chi2)
+            q_t = mean + (z @ L.T) * t_scale[:, None]
 
-        # DE component (DEMove's O(ns) distinct-pair draw, de.py:72-83).
-        g0 = self.gamma0
-        if g0 is None:
-            g0 = 2.38 / jnp.sqrt(2.0 * model.global_ndim(ndim))
-        i = jax.random.randint(key_i, (ns,), 0, nc)
-        j = jax.random.randint(key_j, (ns,), 0, nc - 1)
-        j = jnp.where(j >= i, j + 1, j)
-        gamma = g0 * (
-            1.0
-            + self.sigma * jax.random.normal(key_dg, (ns, 1), dtype=dtype)
-        )
-        q_de = s + gamma * (c[j] - c[i])
+        if self.aimh_prob >= 1.0:
+            # Pure independence sampler: no DE branch to compute.
+            q = q_t
+            use_t = jnp.ones((ns,), dtype=bool)
+        else:
+            # DE component (DEMove's O(ns) distinct-pair draw,
+            # de.py:72-83).
+            g0 = self.gamma0
+            if g0 is None:
+                g0 = 2.38 / jnp.sqrt(2.0 * model.global_ndim(ndim))
+            i = jax.random.randint(key_i, (ns,), 0, nc)
+            j = jax.random.randint(key_j, (ns,), 0, nc - 1)
+            j = jnp.where(j >= i, j + 1, j)
+            gamma = g0 * (
+                1.0
+                + self.sigma
+                * jax.random.normal(key_dg, (ns, 1), dtype=dtype)
+            )
+            q_de = s + gamma * (c[j] - c[i])
 
-        # State-independent per-walker kernel choice.
-        use_t = jax.random.uniform(key_sel, (ns,), dtype=dtype) < (
-            self.aimh_prob
-        )
-        q = jnp.where(use_t[:, None], q_t, q_de)
+            # State-independent per-walker kernel choice.
+            use_t = jax.random.uniform(key_sel, (ns,), dtype=dtype) < (
+                self.aimh_prob
+            )
+            q = jnp.where(use_t[:, None], q_t, q_de)
 
-        # Independence-MH factor log t(s) - log t(q); the normalizing
+        # Independence-MH factor log p(s) - log p(q); the normalizing
         # constants cancel, leaving only the quadratic-form terms.
         m_s = self._t_quad(L, s, mean)
         m_q = self._t_quad(L, q_t, mean)
-        f_t = (-(self.df + ndim) / 2.0) * (
-            jnp.log1p(m_s / self.df) - jnp.log1p(m_q / self.df)
-        )
+        if self.df is None:
+            f_t = 0.5 * (m_q - m_s)
+        else:
+            f_t = (-(self.df + ndim) / 2.0) * (
+                jnp.log1p(m_s / self.df) - jnp.log1p(m_q / self.df)
+            )
         factors = jnp.where(use_t, f_t, jnp.zeros_like(f_t))
         return q, factors
 

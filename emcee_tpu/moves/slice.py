@@ -148,7 +148,9 @@ class EnsembleSliceMove(RedBlueMove):
         )  # pragma: no cover
 
     def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model,
-               extra=None, scale=None):
+               extra=None, scale=None, carry=None):
+        # carry is part of the RedBlueMove._inner contract (adaptive
+        # moves); the slice move does not use it.
         if model.param_axis is not None:
             raise NotImplementedError(
                 "EnsembleSliceMove does not support parameter-axis "

@@ -126,6 +126,7 @@ class PTSampler:
         temp_axis: Optional[str] = None,
         io_chunk_bytes: int = 1 << 27,
         scan_unroll: int = 4,
+        io_dtype=None,
     ):
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
@@ -201,6 +202,17 @@ class PTSampler:
         # dominates small tempered ensembles; unrolling amortizes it,
         # exactly as in EnsembleSampler.
         self._scan_unroll = int(scan_unroll)
+        # Reduced-precision chain storage (see EnsembleSampler.io_dtype):
+        # stored coords are cast in-jit before leaving the device.  The
+        # tempered chain is ntemps x larger than a flat one, so this is
+        # where compressed streaming pays the most.  log_like/log_prior
+        # stay full precision (magnitude can exceed float16 range).
+        if io_dtype is None:
+            self._io_dtype = None
+        else:
+            self._io_dtype = jnp.dtype(io_dtype)
+            if not jnp.issubdtype(self._io_dtype, jnp.floating):
+                raise ValueError("io_dtype must be a floating dtype")
 
         # Host-side storage with crash-resume, like EnsembleSampler.
         from ..backends.pt import PTBackend
@@ -593,8 +605,11 @@ class PTSampler:
                 unroll=min(self._scan_unroll, thin_by),
             )
             if store:
+                coords_out = state.coords
+                if self._io_dtype is not None:
+                    coords_out = coords_out.astype(self._io_dtype)
                 out = (
-                    state.coords,
+                    coords_out,
                     state.log_like,
                     state.log_prior,
                     accs[-1],
@@ -673,6 +688,19 @@ class PTSampler:
                     f"expected {(self.ntemps, self.nwalkers, self.ndim)}"
                 )
             state = PTState(coords=coords, log_like=None, log_prior=None)
+        if (
+            self._io_dtype is not None
+            and state.coords.dtype == self._io_dtype
+            and self._io_dtype.itemsize < 4
+        ):
+            # Resuming from a reduced-precision store: upcast and drop
+            # the cached likelihoods (they belong to the unrounded
+            # coords; see EnsembleSampler._prepare_state).
+            state = state._replace(
+                coords=jnp.asarray(state.coords, dtype=jnp.float32),
+                log_like=None,
+                log_prior=None,
+            )
         if not skip_check:
             for t in range(self.ntemps):
                 if not walkers_independent(state.coords[t]):
@@ -791,8 +819,13 @@ class PTSampler:
                 ),
             )
 
+        coords_itemsize = (
+            self._io_dtype.itemsize
+            if self._io_dtype is not None
+            else state.coords.dtype.itemsize
+        )
         bytes_per_step = (
-            state.coords.size * state.coords.dtype.itemsize
+            state.coords.size * coords_itemsize
             + 3 * state.log_like.size * state.log_like.dtype.itemsize
         )
         # 4096-step cap: dispatch overhead keeps paying off up to ~4k

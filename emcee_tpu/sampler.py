@@ -736,6 +736,21 @@ class EnsembleSampler:
             raise ValueError(
                 f"incompatible input dimensions {state.coords.shape}"
             )
+        if (
+            self._io_dtype is not None
+            and state.coords.dtype == self._io_dtype
+            and self._io_dtype.itemsize < 4
+        ):
+            # Resuming from a backend that stored the chain at reduced
+            # precision: upcast so the *sampling* stays full precision,
+            # and drop the cached log_prob/blobs — they belong to the
+            # unrounded coords, and a stale value would bias accept
+            # ratios for walkers that keep rejecting.
+            state = state._replace(
+                coords=jnp.asarray(state.coords, dtype=jnp.float32),
+                log_prob=None,
+                blobs=None,
+            )
         if not skip_initial_state_check and not walkers_independent(
             state.coords
         ):

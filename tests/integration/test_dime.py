@@ -97,3 +97,17 @@ def test_dime_carry_adapts_to_target():
     assert np.all(np.abs(mean) < 0.3)
     assert np.all(np.abs(cov_est - cov) < 0.5)
     assert float(carry["w"]) > nwalkers  # history has accumulated
+
+
+def test_normal_dime_blocked():
+    # Gather-free fixed-split engine (the perf configuration).
+    _test_normal(moves.DIMEMove(randomize_split=False))
+
+
+def test_normal_dime_gaussian_proposal():
+    # df=None: Gaussian independence proposal (no chi2 draws).
+    _test_normal(
+        moves.DIMEMove(aimh_prob=1.0, df=None),
+        nsteps=3000,
+        check_acceptance=False,
+    )

@@ -74,3 +74,12 @@ def test_example_gradient_moves():
     mod = _load("07_gradient_moves.py")
     mod.nsteps = 400
     mod.main()
+
+
+def test_example_multimodal_dime():
+    mod = _load("08_multimodal_dime.py")
+    mod.nsteps = 600
+    mod.nwalkers = 64
+    occ = mod.run(mod.moves.DIMEMove(aimh_prob=0.2), "DIME")
+    # The unseen middle mode gets found and populated.
+    assert occ[1] > 0.15

@@ -291,3 +291,21 @@ def test_sharded_dime_in_mixture():
     )
     assert s.get_chain().shape == (100, 64, 3)
     assert np.all(np.isfinite(s.get_chain()))
+
+
+def test_sharded_de_z_archive_consistent():
+    """DEZMove sharded: archive updates all_gather equal slices from
+    every shard, keeping the replicated carry identical, and the chain
+    stays statistically correct."""
+    mesh = walker_mesh()
+    nsteps = 600
+    s = _run(mesh, move=moves.DEZMove(update_rows=16), nwalkers=64,
+             nsteps=nsteps)
+    chain = np.asarray(s.get_chain(flat=True, discard=nsteps // 4))
+    assert np.all(np.abs(chain.mean(0)) < 0.15)
+    assert np.all(np.abs(chain.std(0) - 1) < 0.12)
+    carry = jax.device_get(s._move_carries[0])
+    assert carry["filled"] > 0
+    # The archive holds real (finite, nonzero) states.
+    filled = carry["z"][: int(carry["filled"])]
+    assert np.all(np.isfinite(filled)) and np.any(filled != 0)

@@ -294,3 +294,59 @@ def test_pt_with_gradient_move():
         cold = np.asarray(pt.get_chain(temp=0, flat=True, discard=300))
         frac_pos = float(np.mean(cold > 0))
         assert 0.25 < frac_pos < 0.75, (type(mv).__name__, frac_pos)
+
+
+def test_pt_dime_adapts_per_rung():
+    """DIMEMove inside a PT run: the adaptive proposal moments are carried
+    per rung (hot rungs see a wider tempered target than the cold one) and
+    the chain stays finite and well-behaved."""
+    T, nw, nd = 4, 32, 2
+    pt = PTSampler(T, nw, nd, log_like_bimodal, log_prior_box,
+                   moves=moves.DIMEMove(aimh_prob=0.15), seed=5)
+    coords = jax.random.normal(jax.random.key(2), (T, nw, nd))
+    pt.run_mcmc(coords, 300)
+    assert np.all(np.isfinite(np.asarray(pt.get_chain())))
+    carry = jax.device_get(pt._move_carries[0])
+    assert carry["mean"].shape == (T, nd)
+    assert carry["m2"].shape == (T, nd, nd)
+    assert np.all(carry["w"] > 0)  # every rung accumulated history
+    # Hot-rung proposal variance exceeds the cold rung's (the tempered
+    # bimodal target widens as beta drops).
+    var0 = np.trace(carry["m2"][0] - np.outer(carry["mean"][0], carry["mean"][0]))
+    varT = np.trace(carry["m2"][-1] - np.outer(carry["mean"][-1], carry["mean"][-1]))
+    assert varT > var0
+
+
+def test_pt_io_dtype():
+    """PTSampler(io_dtype=...) compresses only the stored chain: same
+    trajectory as the full-precision run up to the storage cast."""
+    from emcee_tpu.backends.pt import PTBackend
+
+    T, nw, nd = 4, 16, 2
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(4), (T, nw, nd))
+    )
+
+    def run(io_dtype):
+        pt = PTSampler(
+            T, nw, nd, log_like_bimodal, log_prior_box, seed=9,
+            backend=PTBackend(
+                dtype=np.float16 if io_dtype else None
+            ),
+            io_dtype=io_dtype,
+        )
+        pt.run_mcmc(coords, 30)
+        return pt
+
+    p16 = run(np.float16)
+    p32 = run(None)
+    assert p16.backend.chain.dtype == np.float16
+    np.testing.assert_allclose(
+        np.asarray(p16.get_chain(), dtype=np.float64),
+        np.asarray(p32.get_chain(), dtype=np.float64),
+        rtol=0,
+        atol=0.05,
+    )
+    # log_like stays full precision on the wire (cast only by the
+    # backend's own dtype, never in-jit).
+    assert np.all(np.isfinite(p16.get_log_like()))
