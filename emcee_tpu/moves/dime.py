@@ -113,12 +113,17 @@ class DIMEMove(RedBlueMove):
         S = cov * scale + eps * jnp.eye(ndim, dtype=dtype)
         return jnp.linalg.cholesky(S)
 
-    def _t_quad(self, L, x, mean):
-        """Mahalanobis quadratic form of rows of x under chol(S) = L."""
-        y = jax.scipy.linalg.solve_triangular(
-            L, (x - mean).T, lower=True
-        )
-        return jnp.sum(y * y, axis=0)
+    @staticmethod
+    def _t_quad(L_inv, x, mean):
+        """Mahalanobis quadratic form of rows of x under chol(S)^-1.
+
+        ``L_inv`` is the (ndim, ndim) inverse Cholesky factor, inverted
+        once per split so the per-walker work is a single MXU matmul —
+        a triangular solve with nwalkers right-hand sides is sequential
+        over ndim and leaves the systolic array idle.
+        """
+        y = (x - mean) @ L_inv.T
+        return jnp.sum(y * y, axis=-1)
 
     def get_proposal(self, key, s, c_parts, model, carry=None):
         if model.param_axis is not None:
@@ -135,6 +140,9 @@ class DIMEMove(RedBlueMove):
         s1, s2, _ = _moments(c)
         mean, cov, _ = self._pooled(carry, s1, s2, nc, dtype)
         L = self._t_shape_chol(cov, ndim, dtype)
+        L_inv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(ndim, dtype=dtype), lower=True
+        )
 
         key_sel, key_z, key_g, key_i, key_j, key_dg = jax.random.split(
             key, 6
@@ -180,8 +188,8 @@ class DIMEMove(RedBlueMove):
 
         # Independence-MH factor log p(s) - log p(q); the normalizing
         # constants cancel, leaving only the quadratic-form terms.
-        m_s = self._t_quad(L, s, mean)
-        m_q = self._t_quad(L, q_t, mean)
+        m_s = self._t_quad(L_inv, s, mean)
+        m_q = self._t_quad(L_inv, q_t, mean)
         if self.df is None:
             f_t = 0.5 * (m_q - m_s)
         else:
