@@ -42,8 +42,10 @@ def main():
         help="measure effective samples/s (DeviceBackend storage + tau) "
         "instead of raw walker-steps/s",
     )
+    # Span = kept * thin proposals; CLAUDE.md: don't trust tau from
+    # spans < 30 * tau (the mixture's tau is O(100) proposals here).
     ap.add_argument("--kept", type=int, default=256)
-    ap.add_argument("--thin", type=int, default=4)
+    ap.add_argument("--thin", type=int, default=16)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -151,6 +153,7 @@ def main():
             ) * args.thin  # proposal units
         proposals_per_sec = args.kept * args.thin / dt
         ess_per_sec = args.walkers * proposals_per_sec / tau
+        span = args.kept * args.thin
         print(
             json.dumps(
                 {
@@ -158,6 +161,9 @@ def main():
                     "value": round(ess_per_sec, 1),
                     "unit": "effective-samples/s",
                     "tau_proposals": round(float(tau), 2),
+                    "tau_span_proposals": span,
+                    # Short spans truncate tau and inflate ESS; flag it.
+                    "tau_reliable": bool(span >= 30.0 * float(tau)),
                     "walker_steps_per_sec": round(
                         args.walkers * proposals_per_sec, 1
                     ),

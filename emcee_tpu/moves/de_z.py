@@ -40,15 +40,26 @@ class DEZMove(RedBlueMove):
         g1_prob: per-walker probability of a full-length ``gamma = 1``
             jump (ter Braak & Vrugt's mode-jumping recommendation;
             default 0.1).
+        de_noise: scale of ter Braak's additive full-rank noise term
+            ``e`` relative to the per-dimension complement spread
+            (default 1e-2).  This term is LOAD-BEARING when
+            ``nwalkers <= ndim``: difference vectors alone span only
+            the affine hull of the states ever visited, and with few
+            walkers that hull is a proper subspace — the diagonal noise
+            is what lets the chain (and then the archive) escape it.
+            Do not set it to 0 in that regime.
         archive_size: ring-buffer capacity in states (default
             ``max(10 * nwalkers, 1024)``, rounded up to a multiple of
             ``update_rows``).
         update_rows: ensemble rows folded into the archive per proposal
-            (default 64).
+            (default 64; clamped to the local ensemble size).
 
     For ``nwalkers < 2 * ndim`` — the use case this move exists for —
-    pass ``live_dangerously=True``; the archive supplies the missing
-    directions once it has filled past ``~2 * ndim`` states.
+    pass ``live_dangerously=True``.  Mixing across the initially
+    unspanned directions starts as a small-step random walk driven by
+    ``de_noise`` and accelerates as hull-escaping states enter the
+    archive; budget steps accordingly (it is slower than the
+    full-ensemble regime, not magic).
     """
 
     wants_carry = True
@@ -56,12 +67,16 @@ class DEZMove(RedBlueMove):
     _param_shard_ok = False
 
     def __init__(self, sigma=1.0e-5, gamma0=None, g1_prob=0.1,
-                 archive_size=None, update_rows=64, **kwargs):
+                 de_noise=1.0e-2, archive_size=None, update_rows=64,
+                 **kwargs):
         self.sigma = float(sigma)
         self.gamma0 = gamma0
         self.g1_prob = float(g1_prob)
         if not 0.0 <= self.g1_prob <= 1.0:
             raise ValueError("g1_prob must be in [0, 1]")
+        self.de_noise = float(de_noise)
+        if self.de_noise < 0.0:
+            raise ValueError("de_noise must be >= 0")
         self.archive_size = archive_size
         self.update_rows = int(update_rows)
         if self.update_rows < 1:
@@ -84,11 +99,6 @@ class DEZMove(RedBlueMove):
         }
 
     def get_proposal(self, key, s, c_parts, model, carry=None):
-        if model.param_axis is not None:
-            raise NotImplementedError(
-                "DEZMove indexes whole parameter vectors and does not "
-                "support parameter-axis sharding"
-            )
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]
@@ -99,7 +109,7 @@ class DEZMove(RedBlueMove):
         pool = jnp.concatenate([c, carry["z"].astype(dtype)], axis=0)
         n_avail = nc + carry["filled"]
 
-        key_i, key_j, key_g, key_1 = jax.random.split(key, 4)
+        key_i, key_j, key_g, key_1, key_e = jax.random.split(key, 5)
         i = jax.random.randint(key_i, (ns,), 0, n_avail)
         j = jax.random.randint(key_j, (ns,), 0, n_avail - 1)
         j = jnp.where(j >= i, j + 1, j)  # uniform over ordered pairs
@@ -120,26 +130,44 @@ class DEZMove(RedBlueMove):
             )
             gamma = jnp.where(jump, jnp.ones_like(gamma), gamma)
         q = s + gamma * diffs
+        if self.de_noise > 0.0:
+            # ter Braak's additive full-rank term e: diagonal Gaussian
+            # noise scaled by the frozen complement's per-dimension
+            # spread.  Symmetric (zero Hastings factor) and independent
+            # of the walker's own position.  This is what lets the
+            # chain leave the affine hull of previously-visited states
+            # when nwalkers <= ndim (difference vectors cannot).
+            spread = jnp.std(c, axis=0)
+            # Floor against axis-aligned collapse (a dimension constant
+            # across the complement would otherwise get zero noise and
+            # stay frozen forever).
+            spread = jnp.maximum(spread, 0.01 * jnp.mean(spread) + 1e-12)
+            q = q + self.de_noise * spread * jax.random.normal(
+                key_e, (ns, ndim), dtype=dtype
+            )
         return q, jnp.zeros(ns, dtype=dtype)
 
     def update_carry(self, carry, state, model):
         """Fold a strided, rotating ensemble subsample into the ring.
 
-        The write block never wraps (capacity is a multiple of
-        ``update_rows``), and under walker sharding each shard
-        contributes an equal slice (all_gather keeps the replicated
-        carry bit-identical across shards).
+        Under walker sharding every shard contributes an equal slice
+        (all_gather keeps the replicated carry bit-identical across
+        shards) and no shard is ever dropped.  The write is a wrap-safe
+        scatter at indices ``(ptr + arange(nrows)) % capacity``, so no
+        alignment invariant between ``update_rows``, the shard count,
+        and the capacity is needed.
         """
         coords = state.coords
         nw_local = coords.shape[0]
-        u = self.update_rows
         ptr = carry["ptr"]
 
         if model.axis_name is not None:
             shards = max(1, (model.nwalkers or nw_local) // nw_local)
         else:
             shards = 1
-        u_loc = max(1, u // shards)
+        # Distinct local rows only (duplicates would enter the pool as
+        # zero difference vectors); every shard contributes at least one.
+        u_loc = min(max(1, self.update_rows // shards), nw_local)
         stride = max(1, nw_local // u_loc)
         # Rotate the subsample offset with the write pointer so
         # successive updates cover different walkers.
@@ -151,11 +179,12 @@ class DEZMove(RedBlueMove):
             rows = jax.lax.all_gather(
                 rows, model.axis_name, axis=0, tiled=True
             )
-        rows = rows[:u].astype(jnp.float32)
-        nrows = rows.shape[0]
+        rows = rows.astype(jnp.float32)
+        nrows = rows.shape[0]  # static: shards * u_loc
 
         k = carry["z"].shape[0]
-        z = jax.lax.dynamic_update_slice(carry["z"], rows, (ptr, 0))
+        slots = (ptr + jnp.arange(nrows, dtype=jnp.int32)) % k
+        z = carry["z"].at[slots].set(rows)
         return {
             "z": z,
             "filled": jnp.minimum(carry["filled"] + nrows, k),

@@ -35,11 +35,17 @@ from .red_blue import RedBlueMove
 __all__ = ["DIMEMove"]
 
 
-def _moments(x):
-    """Sum and second-moment-sum of ``x`` (n, d) -> (s1, s2, n)."""
-    s1 = jnp.sum(x, axis=0)
-    s2 = x.T @ x
-    return s1, s2, x.shape[0]
+def _centered_moments(x):
+    """Population mean and centered covariance of ``x`` (n, d).
+
+    Centered accumulation on purpose: forming ``E[xx^T] - mu mu^T``
+    cancels catastrophically in float32 once ``|mu| >> sigma`` (the
+    absolute error of E[xx^T] scales with mu^2 and swamps the true
+    variance), yielding an indefinite matrix and a NaN Cholesky.
+    """
+    mean = jnp.mean(x, axis=0)
+    xc = x - mean
+    return mean, (xc.T @ xc) / x.shape[0]
 
 
 class DIMEMove(RedBlueMove):
@@ -86,23 +92,27 @@ class DIMEMove(RedBlueMove):
         # complement moments (the pooled history weight vanishes).
         return {
             "mean": jnp.zeros((ndim,), dtype=jnp.float32),
-            "m2": jnp.eye(ndim, dtype=jnp.float32),  # E[x x^T] estimate
+            "cov": jnp.eye(ndim, dtype=jnp.float32),
             "w": jnp.zeros((), dtype=jnp.float32),
         }
 
-    def _pooled(self, carry, s1, s2, n, dtype):
-        """Pool decayed history moments with a fresh (s1, s2, n) batch.
+    def _pooled(self, carry, mean_b, cov_b, n, dtype):
+        """Pool decayed history moments with a fresh batch's centered
+        (mean, cov, n) via the parallel-combine recursion (never forms
+        raw second moments — see ``_centered_moments``).
 
-        Returns (mean, cov, new_carry_fields) — all in ``dtype``.
+        Returns (mean, cov, total_weight) in ``dtype``.
         """
         wh = self.rho * carry["w"].astype(dtype)
         total = wh + n
         mean_h = carry["mean"].astype(dtype)
-        m2_h = carry["m2"].astype(dtype)
-        mean = (wh * mean_h + s1) / total
-        m2 = (wh * m2_h + s2) / total
-        cov = m2 - jnp.outer(mean, mean)
-        return mean, cov, (mean, m2, total)
+        cov_h = carry["cov"].astype(dtype)
+        delta = mean_b - mean_h
+        mean = mean_h + delta * (n / total)
+        cov = (wh * cov_h + n * cov_b) / total + (
+            wh * n / (total * total)
+        ) * jnp.outer(delta, delta)
+        return mean, cov, total
 
     def _t_shape_chol(self, cov, ndim, dtype):
         """Cholesky of the proposal shape matrix: ``cov * (df-2)/df``
@@ -126,19 +136,14 @@ class DIMEMove(RedBlueMove):
         return jnp.sum(y * y, axis=-1)
 
     def get_proposal(self, key, s, c_parts, model, carry=None):
-        if model.param_axis is not None:
-            raise NotImplementedError(
-                "DIMEMove couples parameter dimensions (full-covariance "
-                "proposal) and does not support parameter-axis sharding"
-            )
         c = jnp.concatenate(c_parts, axis=0)
         ns, ndim = s.shape
         nc = c.shape[0]
         dtype = s.dtype
 
         # Proposal moments: frozen complement pooled with decayed history.
-        s1, s2, _ = _moments(c)
-        mean, cov, _ = self._pooled(carry, s1, s2, nc, dtype)
+        mean_c, cov_c = _centered_moments(c)
+        mean, cov, _ = self._pooled(carry, mean_c, cov_c, nc, dtype)
         L = self._t_shape_chol(cov, ndim, dtype)
         L_inv = jax.scipy.linalg.solve_triangular(
             L, jnp.eye(ndim, dtype=dtype), lower=True
@@ -201,19 +206,24 @@ class DIMEMove(RedBlueMove):
 
     def update_carry(self, carry, state, model):
         """Fold the post-accept ensemble into the decayed history moments
-        (runs once per proposal; cross-shard moments via psum)."""
+        (runs once per proposal; cross-shard centered moments via two
+        psums — mean first, then the globally-centered scatter)."""
         coords = state.coords
-        s1, s2, n = _moments(coords)
-        if model.axis_name is not None:
-            s1 = jax.lax.psum(s1, model.axis_name)
-            s2 = jax.lax.psum(s2, model.axis_name)
-            n = model.nwalkers
         dtype = coords.dtype
-        _, _, (mean, m2, total) = self._pooled(
-            carry, s1.astype(dtype), s2.astype(dtype), n, dtype
-        )
+        if model.axis_name is not None:
+            n = model.nwalkers
+            mean_b = (
+                jax.lax.psum(jnp.sum(coords, axis=0), model.axis_name)
+                / n
+            )
+            xc = coords - mean_b
+            cov_b = jax.lax.psum(xc.T @ xc, model.axis_name) / n
+        else:
+            n = coords.shape[0]
+            mean_b, cov_b = _centered_moments(coords)
+        mean, cov, total = self._pooled(carry, mean_b, cov_b, n, dtype)
         return {
             "mean": mean.astype(jnp.float32),
-            "m2": m2.astype(jnp.float32),
+            "cov": cov.astype(jnp.float32),
             "w": total.astype(jnp.float32),
         }

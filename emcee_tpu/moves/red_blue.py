@@ -73,6 +73,10 @@ class RedBlueMove(ScaleTunable, Move):
     #: their ``get_proposal`` receives a ``carry`` keyword and
     #: :meth:`update_carry` runs once per proposal, after all splits.
     wants_carry = False
+    #: moves that couple parameter dimensions (full-covariance or
+    #: whole-vector indexing) set this False; checked in :meth:`propose`
+    #: when the parameter axis is sharded.
+    _param_shard_ok = True
     #: False for moves whose update is not a (q, factors) proposal
     #: (e.g. the slice move) — they cannot participate in BlendedMove's
     #: shared-evaluation blending.
@@ -118,6 +122,11 @@ class RedBlueMove(ScaleTunable, Move):
             raise ValueError(
                 f"nwalkers per device ({nwalkers}) must be divisible by "
                 f"nsplits ({self.nsplits})"
+            )
+        if model.param_axis is not None and not self._param_shard_ok:
+            raise NotImplementedError(
+                f"{type(self).__name__} couples parameter dimensions "
+                "and does not support parameter-axis sharding"
             )
         ng = nwalkers // self.nsplits
 

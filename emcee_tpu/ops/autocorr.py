@@ -132,7 +132,13 @@ def _tau_geyer(f):
     )
     g_mono = np.minimum.accumulate(g, axis=0)
     keep = np.arange(npairs)[:, None] < k_stop[None, :]
-    return -1.0 + 2.0 * np.sum(np.where(keep, g_mono, 0.0), axis=0)
+    tau = -1.0 + 2.0 * np.sum(np.where(keep, g_mono, 0.0), axis=0)
+    # Antithetic chains can push the raw estimate to (or below) zero,
+    # which would make ESS negative/infinite downstream; floor at
+    # Stan's convention (ESS capped at N * log10(N), i.e.
+    # tau >= 1 / log10(N)).
+    n_t = f.shape[0]
+    return np.maximum(tau, 1.0 / np.log10(max(float(n_t), 10.0)))
 
 
 def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True,

@@ -693,11 +693,15 @@ class PTSampler:
             and state.coords.dtype == self._io_dtype
             and self._io_dtype.itemsize < 4
         ):
-            # Resuming from a reduced-precision store: upcast and drop
-            # the cached likelihoods (they belong to the unrounded
-            # coords; see EnsembleSampler._prepare_state).
+            # Resuming from a reduced-precision store: upcast (to
+            # float64 under x64) and drop the cached likelihoods (they
+            # belong to the unrounded coords; see
+            # EnsembleSampler._prepare_state).
             state = state._replace(
-                coords=jnp.asarray(state.coords, dtype=jnp.float32),
+                coords=jnp.asarray(
+                    state.coords,
+                    dtype=jax.dtypes.canonicalize_dtype(jnp.float64),
+                ),
                 log_like=None,
                 log_prior=None,
             )

@@ -742,12 +742,14 @@ class EnsembleSampler:
             and self._io_dtype.itemsize < 4
         ):
             # Resuming from a backend that stored the chain at reduced
-            # precision: upcast so the *sampling* stays full precision,
-            # and drop the cached log_prob/blobs — they belong to the
-            # unrounded coords, and a stale value would bias accept
-            # ratios for walkers that keep rejecting.
+            # precision: upcast so the *sampling* stays full precision
+            # (float64 when x64 is enabled), and drop the cached
+            # log_prob/blobs — they belong to the unrounded coords, and
+            # a stale value would bias accept ratios for walkers that
+            # keep rejecting.
+            full = jax.dtypes.canonicalize_dtype(jnp.float64)
             state = state._replace(
-                coords=jnp.asarray(state.coords, dtype=jnp.float32),
+                coords=jnp.asarray(state.coords, dtype=full),
                 log_prob=None,
                 blobs=None,
             )
@@ -791,6 +793,28 @@ class EnsembleSampler:
             for leaf in leaves
         )
         return _BlobStruct(treedef, shapes, state.blobs)
+
+    def _grow_blobs_template(self, blobs):
+        """Host-side shape/dtype template for ``backend.grow``.
+
+        ``grow`` only reads ``.shape``/``.dtype`` of the example leaves;
+        building numpy empties (with the ``io_dtype`` cast applied to
+        float leaves) avoids issuing eager device casts/transfers at run
+        start — each eager op is a full remote compile on the tunneled
+        TPU runtime.
+        """
+        if blobs is None:
+            return None
+
+        def t(leaf):
+            dt = leaf.dtype
+            if self._io_dtype is not None and jnp.issubdtype(
+                dt, jnp.floating
+            ):
+                dt = self._io_dtype
+            return np.empty(leaf.shape, dtype=dt)
+
+        return jax.tree_util.tree_map(t, blobs)
 
     def _cast_io(self, x):
         """Cast a stored float array to ``io_dtype`` (traced; see ctor)."""
@@ -895,8 +919,7 @@ class EnsembleSampler:
 
         if store:
             self.backend.grow(
-                iterations,
-                jax.tree_util.tree_map(self._cast_io, state.blobs),
+                iterations, self._grow_blobs_template(state.blobs)
             )
 
         run1 = self._get_run_chunk(1, thin_by, store, tune, blobs_struct)
@@ -954,8 +977,7 @@ class EnsembleSampler:
 
         if store:
             self.backend.grow(
-                nsteps,
-                jax.tree_util.tree_map(self._cast_io, state.blobs),
+                nsteps, self._grow_blobs_template(state.blobs)
             )
 
         schedule = self._chunk_schedule(
@@ -970,7 +992,13 @@ class EnsembleSampler:
             nwalkers=self.nwalkers,
         )
         t_run = time.perf_counter()
-        pending = None  # overlap: fetch chunk k while k+1 computes
+        # Overlap: fetch chunk k while k+1 computes.  Each pending entry
+        # carries the resume anchors (post-chunk state + carries) so the
+        # anchors only ever advance together with the data that actually
+        # reached the backend — a chunk whose save was interrupted
+        # leaves the anchors at the previous consistent point and is
+        # simply recomputed on resume (same PRNG state, identical chain).
+        pending = None  # (out, key, state_after, carries_after)
         try:
             with get_progress_bar(
                 progress, total, **progress_kwargs
@@ -988,23 +1016,30 @@ class EnsembleSampler:
                             # a second (double-appending) save from the
                             # finally block below.
                             p, pending = pending, None
-                            self._save_chunk(*p)
-                        pending = (out, state.random_state)
+                            self._save_chunk(p[0], p[1])
+                            self._previous_state = p[2]
+                            self._move_carries = p[3]
+                        pending = (out, state.random_state, state, carries)
+                    else:
+                        self._previous_state = state
+                        self._move_carries = carries
                     stats.chunks += 1
                     stats.chunk_times.append(time.perf_counter() - t_chunk)
                     pbar.update(n * thin_by)
         finally:
-            # Interrupt safety: every *completed* chunk reaches the
-            # backend even when the loop is killed mid-run (Ctrl-C, a
-            # preemption signal raised in-process) — the reference gets
-            # this for free by writing per step (hdf.py:243-267); here at
-            # most the in-flight chunk is lost.  The resume anchors
-            # (_previous_state / _move_carries) stay consistent with
-            # whatever landed, so run_mcmc(None, n) continues cleanly.
+            # Interrupt safety: every chunk whose save completes reaches
+            # the backend even when the loop is killed mid-run (Ctrl-C,
+            # a preemption signal raised in-process) — the reference
+            # gets this by paying a disk write per step (hdf.py:243-267).
+            # The stored chain and the resume anchors are always
+            # mutually consistent; at most the in-flight chunks (the one
+            # being saved plus the one just computed) are discarded and
+            # recomputed by run_mcmc(None, n).
             if store and pending is not None:
-                self._save_chunk(*pending)
-            self._move_carries = carries
-            self._previous_state = state
+                p, pending = pending, None
+                self._save_chunk(p[0], p[1])
+                self._previous_state = p[2]
+                self._move_carries = p[3]
 
         # Block so failures surface here.
         jax.block_until_ready(state.coords)

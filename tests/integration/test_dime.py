@@ -93,7 +93,7 @@ def test_dime_carry_adapts_to_target():
 
     carry = sampler._move_carries[0]
     mean = np.asarray(carry["mean"])
-    cov_est = np.asarray(carry["m2"]) - np.outer(mean, mean)
+    cov_est = np.asarray(carry["cov"])
     assert np.all(np.abs(mean) < 0.3)
     assert np.all(np.abs(cov_est - cov) < 0.5)
     assert float(carry["w"]) > nwalkers  # history has accumulated
@@ -111,3 +111,33 @@ def test_normal_dime_gaussian_proposal():
         nsteps=3000,
         check_acceptance=False,
     )
+
+
+def test_dime_off_center_target():
+    """Regression: float32 raw-second-moment accumulation cancelled
+    catastrophically when |mean| >> sigma (cov went indefinite -> NaN
+    Cholesky -> every independence proposal silently rejected).  The
+    centered recursion must sample an offset target exactly."""
+    offset = 1.0e4
+    nwalkers, ndim = 64, 2
+
+    def log_prob(x):
+        return -0.5 * jnp.sum((x - offset) ** 2)
+
+    sampler = EnsembleSampler(
+        nwalkers, ndim, log_prob, seed=21,
+        moves=moves.DIMEMove(aimh_prob=1.0),
+    )
+    coords = offset + np.random.default_rng(5).normal(
+        size=(nwalkers, ndim)
+    )
+    sampler.run_mcmc(coords, 1500)
+    acc = np.asarray(sampler.acceptance_fraction)
+    assert np.all(acc > 0.3), acc.mean()  # the chain must actually move
+    flat = np.asarray(
+        sampler.get_chain(discard=500, flat=True), dtype=np.float64
+    )
+    assert np.all(np.abs(flat.mean(axis=0) - offset) < 0.1)
+    assert np.all(np.abs(flat.std(axis=0) - 1.0) < 0.1)
+    cov = np.asarray(sampler._move_carries[0]["cov"])
+    assert np.all(np.linalg.eigvalsh(cov) > 0)  # PSD, no cancellation

@@ -223,3 +223,17 @@ def test_geyer_white_noise():
 def test_unknown_method_raises():
     with pytest.raises(ValueError, match="unknown method"):
         integrated_time(np.zeros(100), method="wrong")
+
+
+def test_geyer_antithetic_floor():
+    # A strongly antithetic AR(1) (a=-0.9) drives the raw Geyer sum
+    # toward tau <= 0; the estimate must stay positive so ESS is finite.
+    rng = np.random.default_rng(3)
+    n = 40000
+    x = np.empty(n)
+    x[0] = 0.0
+    for i in range(1, n):
+        x[i] = -0.9 * x[i - 1] + rng.normal()
+    tau = integrated_time(x, method="geyer", quiet=True)
+    assert np.all(tau > 0.0)
+    assert np.all(tau < 1.0)  # antithetic: better than independent

@@ -484,3 +484,45 @@ def test_io_dtype_resume_upcasts():
     # the chain keeps sampling sensibly.
     assert np.all(np.isfinite(np.asarray(state.log_prob)))
     assert s2.backend.iteration == 15
+
+
+def test_interrupt_inside_save_keeps_chain_consistent():
+    """Regression: a KeyboardInterrupt landing inside _save_chunk (the
+    window where nearly all wall-clock is spent) must leave the stored
+    chain and the resume anchors mutually consistent — resuming must
+    reproduce exactly the chain an uninterrupted run would have stored."""
+    nwalkers, ndim, nsteps = 32, 3, 20
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(9), (nwalkers, ndim))
+    )
+
+    def make():
+        return EnsembleSampler(
+            nwalkers, ndim, normal_log_prob, seed=13, io_chunk_bytes=3200
+        )  # ~5 kept steps per chunk -> schedule [5, 5, 5, 5]
+
+    ref = make()
+    ref.run_mcmc(coords, nsteps)
+    ref_chain = np.asarray(ref.get_chain())
+
+    s = make()
+    orig_save = s._save_chunk
+    calls = {"n": 0}
+
+    def interrupting_save(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt  # mid-save: chunk 2 aborts
+        return orig_save(*a, **k)
+
+    s._save_chunk = interrupting_save
+    with pytest.raises(KeyboardInterrupt):
+        s.run_mcmc(coords, nsteps)
+    s._save_chunk = orig_save
+
+    saved = s.backend.iteration
+    assert saved == 5  # only chunk 1 landed; anchors point there too
+    s.run_mcmc(None, nsteps - saved)
+    assert s.backend.iteration == nsteps
+    # Identical to the uninterrupted run: no gap, no duplicate.
+    np.testing.assert_array_equal(np.asarray(s.get_chain()), ref_chain)

@@ -276,7 +276,7 @@ def test_sharded_dime_matches_dense_statistics():
         assert np.all(np.abs(chain.std(0) - 1) < 0.12)
         carry = s._move_carries[0]
         mean = np.asarray(carry["mean"])
-        cov = np.asarray(carry["m2"]) - np.outer(mean, mean)
+        cov = np.asarray(carry["cov"])
         assert np.all(np.abs(mean) < 0.3)
         assert np.all(np.abs(cov - np.eye(3)) < 0.4)
 

@@ -308,12 +308,12 @@ def test_pt_dime_adapts_per_rung():
     assert np.all(np.isfinite(np.asarray(pt.get_chain())))
     carry = jax.device_get(pt._move_carries[0])
     assert carry["mean"].shape == (T, nd)
-    assert carry["m2"].shape == (T, nd, nd)
+    assert carry["cov"].shape == (T, nd, nd)
     assert np.all(carry["w"] > 0)  # every rung accumulated history
     # Hot-rung proposal variance exceeds the cold rung's (the tempered
     # bimodal target widens as beta drops).
-    var0 = np.trace(carry["m2"][0] - np.outer(carry["mean"][0], carry["mean"][0]))
-    varT = np.trace(carry["m2"][-1] - np.outer(carry["mean"][-1], carry["mean"][-1]))
+    var0 = np.trace(carry["cov"][0])
+    varT = np.trace(carry["cov"][-1])
     assert varT > var0
 
 
