@@ -82,15 +82,21 @@ def build_kernel(
         param_axis=param_axis,
         ndim=ndim,
     )
-    carry0 = move.init_carry(int(nwalkers), ndim or 0)
-
     def init_fn(coords, key):
-        lp, blobs = compute(jnp.asarray(coords))
+        coords = jnp.asarray(coords)
+        lp, blobs = compute(coords)
         state = State(
-            coords=jnp.asarray(coords),
+            coords=coords,
             log_prob=lp,
             blobs=blobs,
             random_state=key,
+        )
+        # Carry shapes may depend on the dimensionality (DIME's moment
+        # matrices, DEZ's archive), so build the carry where coords
+        # supply ndim when the caller didn't pass it.
+        carry0 = move.init_carry(
+            int(nwalkers),
+            ndim if ndim is not None else int(coords.shape[-1]),
         )
         return state, carry0
 

@@ -334,3 +334,34 @@ def test_ensemble_mala_tune_targets_acceptance():
     )
     s2.run_mcmc(p0, 500)
     assert s2.acceptance_fraction.mean() < 0.1
+
+
+def test_kernels_api_adaptive_moves():
+    """build_kernel supports shape-dependent carries (DIME moments, DEZ
+    archive) by building the carry from the initial coords' ndim."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emcee_tpu import kernels, moves
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    for mv in [moves.DIMEMove(), moves.DEZMove(update_rows=8)]:
+        init, step = kernels.build_kernel(lp, 32, move=mv)
+        state, carry = init(
+            np.random.default_rng(0).normal(size=(32, 3)),
+            jax.random.key(0),
+        )
+
+        def body(c, _):
+            st, cr = c
+            st, acc, cr = step(st, cr)
+            return (st, cr), acc
+
+        (state, carry), accs = jax.lax.scan(
+            body, (state, carry), None, length=100
+        )
+        assert np.all(np.isfinite(np.asarray(state.coords)))
+        assert 0.05 < float(jnp.mean(accs)) < 0.95
