@@ -40,6 +40,10 @@ class DEZMove(RedBlueMove):
         g1_prob: per-walker probability of a full-length ``gamma = 1``
             jump (ter Braak & Vrugt's mode-jumping recommendation;
             default 0.1).
+        snooker_prob: per-walker probability of a snooker update from
+            the pool (anchor z and two projected states; the second
+            half of ter Braak & Vrugt's sampler; default 0.1,
+            ``gammas = 1.7``).
         de_noise: scale of ter Braak's additive full-rank noise term
             ``e`` relative to the per-dimension complement spread
             (default 1e-2).  This term is LOAD-BEARING when
@@ -67,13 +71,17 @@ class DEZMove(RedBlueMove):
     _param_shard_ok = False
 
     def __init__(self, sigma=1.0e-5, gamma0=None, g1_prob=0.1,
-                 de_noise=1.0e-2, archive_size=None, update_rows=64,
-                 **kwargs):
+                 snooker_prob=0.1, gammas=1.7, de_noise=1.0e-2,
+                 archive_size=None, update_rows=64, **kwargs):
         self.sigma = float(sigma)
         self.gamma0 = gamma0
         self.g1_prob = float(g1_prob)
         if not 0.0 <= self.g1_prob <= 1.0:
             raise ValueError("g1_prob must be in [0, 1]")
+        self.snooker_prob = float(snooker_prob)
+        if not 0.0 <= self.snooker_prob <= 1.0:
+            raise ValueError("snooker_prob must be in [0, 1]")
+        self.gammas = float(gammas)
         self.de_noise = float(de_noise)
         if self.de_noise < 0.0:
             raise ValueError("de_noise must be >= 0")
@@ -109,7 +117,9 @@ class DEZMove(RedBlueMove):
         pool = jnp.concatenate([c, carry["z"].astype(dtype)], axis=0)
         n_avail = nc + carry["filled"]
 
-        key_i, key_j, key_g, key_1, key_e = jax.random.split(key, 5)
+        (
+            key_i, key_j, key_g, key_1, key_e, key_s, key_a, key_b, key_c
+        ) = jax.random.split(key, 9)
         i = jax.random.randint(key_i, (ns,), 0, n_avail)
         j = jax.random.randint(key_j, (ns,), 0, n_avail - 1)
         j = jnp.where(j >= i, j + 1, j)  # uniform over ordered pairs
@@ -145,7 +155,39 @@ class DEZMove(RedBlueMove):
             q = q + self.de_noise * spread * jax.random.normal(
                 key_e, (ns, ndim), dtype=dtype
             )
-        return q, jnp.zeros(ns, dtype=dtype)
+        factors = jnp.zeros(ns, dtype=dtype)
+
+        if self.snooker_prob > 0.0:
+            # Snooker update from the pool (ter Braak & Vrugt sec. 3.2;
+            # same algebra as DESnookerMove, de_snooker.py:128-139):
+            # anchor z, direction u = (s - z)/|s - z|, step along u by
+            # gammas * u.(z1 - z2), Metropolis factor |q-z|^(d-1)/|s-z|^(d-1).
+            a = jax.random.randint(key_a, (ns,), 0, n_avail)
+            b = jax.random.randint(key_b, (ns,), 0, n_avail)
+            e = jax.random.randint(key_c, (ns,), 0, n_avail)
+            z = pool[a]
+            delta = s - z
+            # The pool can contain an archived copy of the walker's own
+            # past state; clamp so a zero separation degrades to a
+            # harmless self-proposal instead of NaN.
+            norm = jnp.sqrt(
+                jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-24)
+            )
+            u_dir = delta / norm[:, None]
+            proj = jnp.einsum("ij,ij->i", u_dir, pool[b] - pool[e])
+            gp = self.gammas * proj
+            q_sn = s + u_dir * gp[:, None]
+            f_sn = (model.global_ndim(ndim) - 1.0) * (
+                jnp.log(jnp.maximum(jnp.abs(norm + gp), 1e-24))
+                - jnp.log(norm)
+            )
+            use_sn = jax.random.uniform(key_s, (ns,), dtype=dtype) < (
+                self.snooker_prob
+            )
+            q = jnp.where(use_sn[:, None], q_sn, q)
+            factors = jnp.where(use_sn, f_sn, factors)
+
+        return q, factors
 
     def update_carry(self, carry, state, model):
         """Fold a strided, rotating ensemble subsample into the ring.

@@ -79,3 +79,17 @@ def test_de_z_fewer_walkers_than_2ndim():
     ortho = vt[np.sum(sv > 1e-8):]  # (>=3, ndim)
     proj = flat @ ortho.T
     assert np.all(proj.std(axis=0) > 0.7), proj.std(axis=0)
+
+
+def test_de_z_pure_snooker():
+    # snooker_prob=1: the snooker Metropolis factor must hold on its own.
+    _test_normal(
+        moves.DEZMove(snooker_prob=1.0), ndim=3, nsteps=3000
+    )
+
+
+def test_de_z_components_off():
+    # All extras disabled: reduces to archive-augmented plain DE.
+    _test_normal(
+        moves.DEZMove(snooker_prob=0.0, g1_prob=0.0, de_noise=0.0)
+    )

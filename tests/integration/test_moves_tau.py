@@ -47,3 +47,13 @@ def test_de_mixture_beats_stretch():
     assert 15 < tau_stretch < 90, tau_stretch
     assert 3 < tau_mix < 16, tau_mix
     assert tau_mix * 2.5 < tau_stretch
+
+
+def test_dime_beats_de_mixture_on_bimodal():
+    """On the same bimodal oracle target, DIME's independence component
+    should mix at least as fast as the DE+Snooker mixture once adapted
+    (the reference's best config reads tau ~6.5 here)."""
+    tau_mix = _tau([(moves.DEMove(), 0.8), (moves.DESnookerMove(), 0.2)])
+    tau_dime = _tau(moves.DIMEMove(aimh_prob=0.25))
+    assert tau_dime < 16, tau_dime
+    assert tau_dime < tau_mix * 1.5, (tau_dime, tau_mix)
