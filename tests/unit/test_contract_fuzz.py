@@ -35,6 +35,13 @@ CONFIGS = [
     ),
     (22, 2, 9, 1, moves.KDEMove(), backends.Backend),
     (16, 2, 8, 1, moves.DESnookerMove(), backends.Backend),  # nsplits=4
+    (26, 3, 10, 2, moves.DIMEMove(), backends.DeviceBackend),
+    (12, 4, 9, 1, moves.DEZMove(update_rows=4), backends.Backend),
+    (
+        20, 2, 8, 1,
+        [(moves.DIMEMove(df=None), 0.4), (moves.DEZMove(), 0.6)],
+        backends.Backend,
+    ),
 ]
 
 
