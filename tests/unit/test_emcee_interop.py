@@ -252,3 +252,43 @@ def test_integrated_time_matches_reference_exactly():
     acf_ref = emcee.autocorr.function_1d(x[:, 0, 0])
     acf_ours = emcee_tpu.autocorr.function_1d(x[:, 0, 0])
     np.testing.assert_allclose(acf_ours, acf_ref, atol=1e-5)
+
+
+def test_continue_reference_run(tmp_path):
+    """The migration flow: a run started by reference emcee is continued
+    by our sampler against the same file (constructor auto-resume), and
+    reference emcee reads the extended chain back."""
+
+    def np_log_prob(x):
+        return -0.5 * np.sum(x**2)
+
+    def jx_log_prob(x):
+        return -0.5 * jnp.sum(x**2)
+
+    fn = str(tmp_path / "migrate.h5")
+    be_ref = emcee.backends.HDFBackend(fn)
+    s_ref = emcee.EnsembleSampler(16, 2, np_log_prob, backend=be_ref)
+    p0 = np.random.default_rng(2).normal(size=(16, 2))
+    s_ref.run_mcmc(p0, 40, progress=False)
+    ref_chain = s_ref.get_chain()
+
+    ours = emcee_tpu.EnsembleSampler(
+        16, 2, jx_log_prob, backend=emcee_tpu.backends.HDFBackend(fn)
+    )
+    assert ours.iteration == 40  # auto-resumed from the reference file
+    ours.run_mcmc(None, 30)
+    assert ours.iteration == 70
+    full = np.asarray(ours.get_chain())
+    np.testing.assert_allclose(full[:40], ref_chain, rtol=1e-6)
+    assert np.all(np.isfinite(full))
+    # Continued rows actually sample (walkers move).
+    assert np.std(full[40:] - full[39]) > 0
+
+    # Reference emcee reads the extended file.
+    reader = emcee.backends.HDFBackend(fn, read_only=True)
+    assert reader.iteration == 70
+    chain_back = reader.get_chain()
+    np.testing.assert_allclose(chain_back, full, rtol=1e-6)
+    np.testing.assert_allclose(
+        reader.get_last_sample().coords, full[-1], rtol=1e-6
+    )

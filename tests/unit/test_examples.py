@@ -83,3 +83,13 @@ def test_example_multimodal_dime():
     occ = mod.run(mod.moves.DIMEMove(aimh_prob=0.2), "DIME")
     # The unseen middle mode gets found and populated.
     assert occ[1] > 0.15
+
+
+def test_example_production_pattern():
+    mod = _load("09_production_pattern.py")
+    mod.nwalkers = 64
+    mod.burn_steps = 100
+    mod.max_steps = 4000
+    mod.check_every = 500
+    report = mod.main()
+    assert report is not None
