@@ -104,6 +104,7 @@ class DEZMove(RedBlueMove):
             "z": jnp.zeros((k, ndim), dtype=jnp.float32),
             "filled": jnp.zeros((), dtype=jnp.int32),
             "ptr": jnp.zeros((), dtype=jnp.int32),
+            "t": jnp.zeros((), dtype=jnp.int32),  # update counter
         }
 
     def get_proposal(self, key, s, c_parts, model, carry=None):
@@ -211,11 +212,15 @@ class DEZMove(RedBlueMove):
         # zero difference vectors); every shard contributes at least one.
         u_loc = min(max(1, self.update_rows // shards), nw_local)
         stride = max(1, nw_local // u_loc)
-        # Rotate the subsample offset with the write pointer so
-        # successive updates cover different walkers.
-        idx = (ptr + jnp.arange(u_loc, dtype=jnp.int32) * stride) % (
-            nw_local
-        )
+        # Advance the subsample base by ONE walker per update (the
+        # update counter, not the write pointer: ptr advances by a
+        # multiple of stride, which would pin the subsample to a single
+        # residue class forever — a fixed quarter of the ensemble was
+        # all that ever reached the archive).  Over `stride` consecutive
+        # updates every walker is visited.
+        idx = (
+            carry["t"] + jnp.arange(u_loc, dtype=jnp.int32) * stride
+        ) % nw_local
         rows = coords[idx]
         if model.axis_name is not None:
             rows = jax.lax.all_gather(
@@ -225,10 +230,17 @@ class DEZMove(RedBlueMove):
         nrows = rows.shape[0]  # static: shards * u_loc
 
         k = carry["z"].shape[0]
+        if nrows > k:
+            raise ValueError(
+                f"archive_size ({k}) is smaller than one update's rows "
+                f"({nrows}); raise archive_size or lower update_rows — "
+                "a same-scatter wrap would drop rows nondeterministically"
+            )
         slots = (ptr + jnp.arange(nrows, dtype=jnp.int32)) % k
         z = carry["z"].at[slots].set(rows)
         return {
             "z": z,
             "filled": jnp.minimum(carry["filled"] + nrows, k),
             "ptr": (ptr + nrows) % k,
+            "t": carry["t"] + 1,
         }

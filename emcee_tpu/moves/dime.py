@@ -130,9 +130,15 @@ class DIMEMove(RedBlueMove):
         ``L_inv`` is the (ndim, ndim) inverse Cholesky factor, inverted
         once per split so the per-walker work is a single MXU matmul —
         a triangular solve with nwalkers right-hand sides is sequential
-        over ndim and leaves the systolic array idle.
+        over ndim and leaves the systolic array idle.  HIGHEST matmul
+        precision: this enters the independence-MH acceptance factor,
+        and the MXU's default bf16 input rounding would bias it at the
+        percent level on ill-conditioned targets (the matrices are tiny,
+        so full precision costs nothing).
         """
-        y = (x - mean) @ L_inv.T
+        y = jnp.dot(
+            x - mean, L_inv.T, precision=jax.lax.Precision.HIGHEST
+        )
         return jnp.sum(y * y, axis=-1)
 
     def get_proposal(self, key, s, c_parts, model, carry=None):

@@ -39,6 +39,7 @@ from .. import moves as _moves_mod
 from ..model import Model, wrap_log_prob_fn
 from ..ops import autocorr
 from ..state import State, walkers_independent
+from ..utils import defer_interrupts
 
 __all__ = ["PTSampler", "PTState", "default_beta_ladder"]
 
@@ -868,69 +869,87 @@ class PTSampler:
         prev_swaps = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
         proposals_done = 0
         kept_done = 0
-        for n in sizes:
-            run = self._build_chunk(n, int(thin_by), store, tune)
-            state, carries, swap_acc, outs = run(
-                state,
-                carries,
-                swap_acc,
-                betas_dev,
-                jnp.asarray(kept0 + kept_done, dtype=jnp.int32),
-            )
-            proposals_done += n * int(thin_by)
-            kept_done += n
-            if self.adaptive:
-                swap_acc_host = self._fetch_global(
-                    swap_acc, every_process=True
+        try:
+            for n in sizes:
+                run = self._build_chunk(n, int(thin_by), store, tune)
+                state, carries, swap_acc, outs = run(
+                    state,
+                    carries,
+                    swap_acc,
+                    betas_dev,
+                    jnp.asarray(kept0 + kept_done, dtype=jnp.int32),
                 )
-                betas_dev, prev_swaps = self._adapt_ladder(
-                    swap_acc_host,
-                    prev_swaps,
-                    n * int(thin_by),
-                    proposals_done,
-                )
-            if not store:
-                continue
-            if (
-                getattr(self.backend, "wants_device_arrays", False)
-                and jax.process_count() == 1
-            ):
-                # PTDeviceBackend: the chain block stays in HBM; only the
-                # tiny (T, nw) swap counters cross to the host.
-                coords, ll, lpr, accs = outs
-                swap_acc_host = jax.device_get(swap_acc)
-            else:
-                fetched = self._fetch_global((outs, swap_acc))
-                if fetched is None:  # non-zero process: backend untouched
+                proposals_done += n * int(thin_by)
+                kept_done += n
+                if self.adaptive:
+                    swap_acc_host = self._fetch_global(
+                        swap_acc, every_process=True
+                    )
+                    betas_dev, prev_swaps = self._adapt_ladder(
+                        swap_acc_host,
+                        prev_swaps,
+                        n * int(thin_by),
+                        proposals_done,
+                    )
+                if not store:
+                    self._move_carries = carries
+                    self._previous_state = state
                     continue
-                (coords, ll, lpr, accs), swap_acc_host = fetched
-            swaps_delta = np.asarray(swap_acc_host).sum(axis=1)[
-                : max(self.ntemps - 1, 1)
-            ]
-            # swap_acc accumulates across chunks within this run; only the
-            # attempts actually issued so far are credited, so the stored
-            # accepted/proposed pair stays consistent mid-run too.
-            self.backend.save_chunk(
-                coords,
-                ll,
-                lpr,
-                accs,
-                self._base_swaps_accepted + swaps_delta,
-                self._base_swaps_proposed
-                + count_proposed(step0, step0 + proposals_done),
-                state.random_state,
-                self.betas,
-            )
-        if store and jax.process_index() == 0:
-            self._base_swaps_accepted = np.asarray(
-                self.backend.swaps_accepted
-            )
-            self._base_swaps_proposed = np.asarray(
-                self.backend.swaps_proposed
-            )
+                if (
+                    getattr(self.backend, "wants_device_arrays", False)
+                    and jax.process_count() == 1
+                ):
+                    # PTDeviceBackend: the chain block stays in HBM; only
+                    # the tiny (T, nw) swap counters cross to the host.
+                    coords, ll, lpr, accs = outs
+                    swap_acc_host = jax.device_get(swap_acc)
+                else:
+                    fetched = self._fetch_global((outs, swap_acc))
+                    if fetched is None:  # non-zero process: no backend
+                        self._move_carries = carries
+                        self._previous_state = state
+                        continue
+                    (coords, ll, lpr, accs), swap_acc_host = fetched
+                swaps_delta = np.asarray(swap_acc_host).sum(axis=1)[
+                    : max(self.ntemps - 1, 1)
+                ]
+                # swap_acc accumulates across chunks within this run;
+                # only the attempts actually issued so far are credited,
+                # so the stored accepted/proposed pair stays consistent
+                # mid-run too.
+                # Resume anchors advance together with the saved data —
+                # an interrupt mid-run leaves the stored chain and the
+                # anchors mutually consistent (same contract as
+                # EnsembleSampler.run_mcmc); SIGINT is deferred across
+                # the commit + anchor group.
+                with defer_interrupts():
+                    self.backend.save_chunk(
+                        coords,
+                        ll,
+                        lpr,
+                        accs,
+                        self._base_swaps_accepted + swaps_delta,
+                        self._base_swaps_proposed
+                        + count_proposed(step0, step0 + proposals_done),
+                        state.random_state,
+                        self.betas,
+                    )
+                    self._move_carries = carries
+                    self._previous_state = state
+        finally:
+            # Rebase the swap counters from whatever actually landed, so
+            # an interrupted run's partially-credited counters are not
+            # regressed by the next run's base + delta writes.
+            if store and jax.process_index() == 0 and (
+                self.backend.initialized
+            ):
+                self._base_swaps_accepted = np.asarray(
+                    self.backend.swaps_accepted
+                )
+                self._base_swaps_proposed = np.asarray(
+                    self.backend.swaps_proposed
+                )
         jax.block_until_ready(state.coords)
-        self._move_carries = carries
-        self._previous_state = state
         return state
 
     def sample(

@@ -46,6 +46,7 @@ from . import moves as _moves_mod
 from .backends import Backend
 from .model import Model, wrap_log_prob_fn
 from .ops import autocorr
+from .utils import defer_interrupts
 from .pbar import get_progress_bar
 from .state import State, as_state, walkers_independent
 
@@ -794,6 +795,10 @@ class EnsembleSampler:
         )
         return _BlobStruct(treedef, shapes, state.blobs)
 
+    # Hold SIGINT across a backend-write + resume-anchor group (see
+    # utils.defer_interrupts).
+    _defer_interrupts = staticmethod(defer_interrupts)
+
     def _grow_blobs_template(self, blobs):
         """Host-side shape/dtype template for ``backend.grow``.
 
@@ -929,12 +934,13 @@ class EnsembleSampler:
             i = 0
             while iterations is None or i < iterations:
                 state, carries, out = run1(state, carries)
-                if store:
-                    self._save_chunk(out, state.random_state)
+                with self._defer_interrupts():
+                    if store:
+                        self._save_chunk(out, state.random_state)
+                    self._move_carries = carries
+                    self._previous_state = state
                 pbar.update(thin_by)
                 i += 1
-                self._move_carries = carries
-                self._previous_state = state
                 yield state
 
     def run_mcmc(self, initial_state, nsteps, **kwargs):
@@ -1014,11 +1020,14 @@ class EnsembleSampler:
                             # Consume before saving: a KeyboardInterrupt
                             # landing inside _save_chunk must not trigger
                             # a second (double-appending) save from the
-                            # finally block below.
+                            # finally block below.  SIGINT is deferred so
+                            # the commit and the anchor updates are
+                            # atomic with respect to Ctrl-C.
                             p, pending = pending, None
-                            self._save_chunk(p[0], p[1])
-                            self._previous_state = p[2]
-                            self._move_carries = p[3]
+                            with self._defer_interrupts():
+                                self._save_chunk(p[0], p[1])
+                                self._previous_state = p[2]
+                                self._move_carries = p[3]
                         pending = (out, state.random_state, state, carries)
                     else:
                         self._previous_state = state
@@ -1037,9 +1046,10 @@ class EnsembleSampler:
             # recomputed by run_mcmc(None, n).
             if store and pending is not None:
                 p, pending = pending, None
-                self._save_chunk(p[0], p[1])
-                self._previous_state = p[2]
-                self._move_carries = p[3]
+                with self._defer_interrupts():
+                    self._save_chunk(p[0], p[1])
+                    self._previous_state = p[2]
+                    self._move_carries = p[3]
 
         # Block so failures surface here.
         jax.block_until_ready(state.coords)

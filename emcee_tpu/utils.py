@@ -10,10 +10,42 @@ tutorial's ``scipy.optimize.minimize`` initialization step
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["sample_ball", "sample_ellipsoid", "find_map"]
+
+
+@contextlib.contextmanager
+def defer_interrupts():
+    """Hold SIGINT for the duration of a backend-write + resume-anchor
+    update, so a Ctrl-C can never land between a committed save and the
+    anchor assignments (which would leave the backend one chunk ahead of
+    the anchors and duplicate that chunk on resume).  The deferred
+    interrupt re-raises on exit.  No-op off the main thread (signal
+    handlers are main-thread-only) — there the window stays a few
+    bytecodes wide, as before.
+    """
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        yield
+        return
+    pending = []
+    try:
+        prev = signal.signal(signal.SIGINT, lambda s, f: pending.append(s))
+    except ValueError:  # exotic embedding; fall back to no-op
+        yield
+        return
+    try:
+        yield
+    finally:
+        signal.signal(signal.SIGINT, prev)
+        if pending:
+            raise KeyboardInterrupt
 
 
 def sample_ball(key, p0, std, size=1):

@@ -19,6 +19,7 @@ from emcee_tpu import (
     EnsembleSampler,
     backends,
     moves,
+    run_until_converged,
     stats,
     utils,
 )
@@ -64,13 +65,16 @@ def main():
     # (reference move-object semantics).
     sampler.reset()
 
-    # (4) Production, monitored: tau checked every `check_every` steps on
-    # device; stops at tau * 100 < iteration with a stable estimate.
-    monitor = ConvergenceMonitor(tau_factor=100, dtau_rel=0.02)
-    while sampler.iteration < max_steps:
-        sampler.run_mcmc(None, check_every)
-        if monitor.update(sampler.get_chain()):
-            break
+    # (4) Production, monitored: the built-in driver samples in blocks,
+    # estimates tau on device, and stops at tau * 100 < iteration with a
+    # stable estimate (None continues from the burn-in end state).
+    _, monitor = run_until_converged(
+        sampler,
+        None,
+        max_steps=max_steps,
+        check_every=check_every,
+        monitor=ConvergenceMonitor(tau_factor=100, dtau_rel=0.02),
+    )
     print(f"converged at {sampler.iteration} steps; tau =",
           np.round(monitor.tau, 2))
 

@@ -365,3 +365,33 @@ def test_kernels_api_adaptive_moves():
         )
         assert np.all(np.isfinite(np.asarray(state.coords)))
         assert 0.05 < float(jnp.mean(accs)) < 0.95
+
+
+def test_de_z_archive_covers_all_walkers():
+    """Regression: the archive subsample base must advance by one walker
+    per update (advancing by the write pointer — a multiple of the
+    stride — pinned the subsample to one residue class forever)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emcee_tpu.model import Model
+    from emcee_tpu.moves import DEZMove
+    from emcee_tpu.state import State
+
+    nw, nd = 16, 2
+    mv = DEZMove(update_rows=4, archive_size=1024)
+    carry = mv.init_carry(nw, nd)
+    model = Model(compute_log_prob=None, nwalkers=nw)
+    # Coords encode the walker id so archived rows are identifiable.
+    coords = jnp.arange(nw, dtype=jnp.float32)[:, None] * jnp.ones(
+        (1, nd), dtype=jnp.float32
+    )
+    state = State(coords=coords)
+    for _ in range(2 * (nw // 4)):  # 2 full rotations of the stride
+        carry = mv.update_carry(carry, state, model)
+    filled = int(carry["filled"])
+    archived_ids = set(
+        np.asarray(carry["z"][:filled, 0]).astype(int).tolist()
+    )
+    assert archived_ids == set(range(nw)), sorted(archived_ids)

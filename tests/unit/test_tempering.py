@@ -350,3 +350,51 @@ def test_pt_io_dtype():
     # log_like stays full precision on the wire (cast only by the
     # backend's own dtype, never in-jit).
     assert np.all(np.isfinite(p16.get_log_like()))
+
+
+def test_pt_interrupt_keeps_chain_consistent():
+    """Regression: PT resume anchors must advance with the saved chunks —
+    an interrupt mid-run previously left the backend ahead of the
+    anchors, so resuming duplicated early steps after the saved rows."""
+    from emcee_tpu.backends.pt import PTBackend
+
+    T, nw, nd, nsteps = 4, 16, 2, 20
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(6), (T, nw, nd))
+    )
+
+    def make():
+        return PTSampler(
+            T, nw, nd, log_like_bimodal, log_prior_box, seed=8,
+            backend=PTBackend(),
+            io_chunk_bytes=T * nw * (nd + 3) * 4 * 5,  # ~5 kept/chunk
+        )
+
+    ref = make()
+    ref.run_mcmc(coords, nsteps)
+    ref_chain = np.asarray(ref.get_chain())
+
+    s = make()
+    orig = s.backend.save_chunk
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+        return orig(*a, **k)
+
+    s.backend.save_chunk = boom
+    with pytest.raises(KeyboardInterrupt):
+        s.run_mcmc(coords, nsteps)
+    s.backend.save_chunk = orig
+
+    saved = s.backend.iteration
+    assert 0 < saved < nsteps
+    s.run_mcmc(None, nsteps - saved)
+    assert s.backend.iteration == nsteps
+    np.testing.assert_allclose(
+        np.asarray(s.get_chain()), ref_chain, rtol=1e-6, atol=1e-6
+    )
+    # Swap bookkeeping stayed monotone and consistent too.
+    assert np.all(np.asarray(s.swaps_proposed) >= np.asarray(s.swaps_accepted))
