@@ -751,7 +751,7 @@ class PTSampler:
         """
         T = self.ntemps
         if T < 3:
-            return jnp.asarray(self.betas), prev_swaps
+            return np.asarray(self.betas), prev_swaps
         cur = np.asarray(swap_acc).sum(axis=1)[: max(self.ntemps - 1, 1)]
         delta = cur - prev_swaps
         attempts = max(
@@ -770,8 +770,9 @@ class PTSampler:
         grad[: T - 2] = A[: T - 2] - A[1 : T - 1]
         S += kappa * np.clip(grad, -1.0, 1.0)
         temps = np.concatenate([[temps[0]], temps[0] + np.cumsum(np.exp(S))])
-        self.betas = 1.0 / temps
-        return jnp.asarray(self.betas), cur
+        # Pure: the caller commits the new ladder to self.betas together
+        # with the chunk's save/anchors (interrupt consistency).
+        return 1.0 / temps, cur
 
     def _fetch_global(self, out, every_process=False):
         """Device->host fetch that works when arrays are sharded across
@@ -881,19 +882,28 @@ class PTSampler:
                 )
                 proposals_done += n * int(thin_by)
                 kept_done += n
+                new_betas = None
                 if self.adaptive:
                     swap_acc_host = self._fetch_global(
                         swap_acc, every_process=True
                     )
-                    betas_dev, prev_swaps = self._adapt_ladder(
+                    new_betas, prev_swaps = self._adapt_ladder(
                         swap_acc_host,
                         prev_swaps,
                         n * int(thin_by),
                         proposals_done,
                     )
+                    # The next chunk runs on the adapted ladder either
+                    # way; self.betas commits with the save/anchors so
+                    # an interrupt cannot leave the in-memory ladder
+                    # ahead of the stored chain.
+                    betas_dev = jnp.asarray(new_betas)
                 if not store:
-                    self._move_carries = carries
-                    self._previous_state = state
+                    with defer_interrupts():
+                        if new_betas is not None:
+                            self.betas = new_betas
+                        self._move_carries = carries
+                        self._previous_state = state
                     continue
                 if (
                     getattr(self.backend, "wants_device_arrays", False)
@@ -906,8 +916,11 @@ class PTSampler:
                 else:
                     fetched = self._fetch_global((outs, swap_acc))
                     if fetched is None:  # non-zero process: no backend
-                        self._move_carries = carries
-                        self._previous_state = state
+                        with defer_interrupts():
+                            if new_betas is not None:
+                                self.betas = new_betas
+                            self._move_carries = carries
+                            self._previous_state = state
                         continue
                     (coords, ll, lpr, accs), swap_acc_host = fetched
                 swaps_delta = np.asarray(swap_acc_host).sum(axis=1)[
@@ -923,6 +936,11 @@ class PTSampler:
                 # EnsembleSampler.run_mcmc); SIGINT is deferred across
                 # the commit + anchor group.
                 with defer_interrupts():
+                    # Store the adapted ladder, but commit it to
+                    # self.betas only after the save succeeds — a save
+                    # that dies mid-write must leave the in-memory
+                    # ladder matching the last ladder that actually
+                    # landed in the backend.
                     self.backend.save_chunk(
                         coords,
                         ll,
@@ -932,8 +950,10 @@ class PTSampler:
                         self._base_swaps_proposed
                         + count_proposed(step0, step0 + proposals_done),
                         state.random_state,
-                        self.betas,
+                        self.betas if new_betas is None else new_betas,
                     )
+                    if new_betas is not None:
+                        self.betas = new_betas
                     self._move_carries = carries
                     self._previous_state = state
         finally:

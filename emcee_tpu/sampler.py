@@ -1030,8 +1030,9 @@ class EnsembleSampler:
                                 self._move_carries = p[3]
                         pending = (out, state.random_state, state, carries)
                     else:
-                        self._previous_state = state
-                        self._move_carries = carries
+                        with self._defer_interrupts():
+                            self._previous_state = state
+                            self._move_carries = carries
                     stats.chunks += 1
                     stats.chunk_times.append(time.perf_counter() - t_chunk)
                     pbar.update(n * thin_by)

@@ -23,10 +23,17 @@ def defer_interrupts():
     """Hold SIGINT for the duration of a backend-write + resume-anchor
     update, so a Ctrl-C can never land between a committed save and the
     anchor assignments (which would leave the backend one chunk ahead of
-    the anchors and duplicate that chunk on resume).  The deferred
-    interrupt re-raises on exit.  No-op off the main thread (signal
-    handlers are main-thread-only) — there the window stays a few
-    bytecodes wide, as before.
+    the anchors and duplicate that chunk on resume).
+
+    A deferred interrupt is re-delivered through the *restored*
+    disposition on clean exit (``signal.raise_signal``) — a process that
+    ignores SIGINT or installed a custom handler keeps that behavior; we
+    never fabricate a ``KeyboardInterrupt`` ourselves.  If the body
+    itself raised, the pending interrupt is dropped so it cannot mask
+    the body's exception (press Ctrl-C again).  No-op off the main
+    thread (signal handlers are main-thread-only) and when the current
+    handler was not installed from Python (embedded interpreters) —
+    there the window stays a few bytecodes wide, as before.
     """
     import signal
     import threading
@@ -34,18 +41,26 @@ def defer_interrupts():
     if threading.current_thread() is not threading.main_thread():
         yield
         return
+    prev = signal.getsignal(signal.SIGINT)
+    if prev is None:  # non-Python handler: cannot restore faithfully
+        yield
+        return
     pending = []
     try:
-        prev = signal.signal(signal.SIGINT, lambda s, f: pending.append(s))
+        signal.signal(signal.SIGINT, lambda s, f: pending.append(s))
     except ValueError:  # exotic embedding; fall back to no-op
         yield
         return
+    body_raised = False
     try:
         yield
+    except BaseException:
+        body_raised = True
+        raise
     finally:
         signal.signal(signal.SIGINT, prev)
-        if pending:
-            raise KeyboardInterrupt
+        if pending and not body_raised:
+            signal.raise_signal(signal.SIGINT)
 
 
 def sample_ball(key, p0, std, size=1):

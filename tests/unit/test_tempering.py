@@ -398,3 +398,45 @@ def test_pt_interrupt_keeps_chain_consistent():
     )
     # Swap bookkeeping stayed monotone and consistent too.
     assert np.all(np.asarray(s.swaps_proposed) >= np.asarray(s.swaps_accepted))
+
+
+def test_pt_adaptive_interrupt_ladder_consistent():
+    """Regression: with adaptive=True, the in-memory ladder must commit
+    together with the saved chunk — an interrupt (even one landing in
+    the save itself) may not leave self.betas ahead of the stored
+    ladder, and resume must continue cleanly."""
+    from emcee_tpu.backends.pt import PTBackend
+
+    T, nw = 6, 32
+    bad = default_beta_ladder(T, 1, max_temp=1e5)
+    pt = PTSampler(
+        T, nw, 1, log_like_bimodal, log_prior_box,
+        betas=bad.copy(), adaptive=True,
+        adaptation_lag=500, adaptation_time=10, seed=0,
+        backend=PTBackend(),
+        io_chunk_bytes=T * nw * 4 * 4 * 10,  # ~10 kept per chunk
+    )
+    coords = np.asarray(jax.random.uniform(
+        jax.random.key(1), (T, nw, 1), minval=-8, maxval=8
+    ))
+    orig = pt.backend.save_chunk
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+        return orig(*a, **k)
+
+    pt.backend.save_chunk = boom
+    with pytest.raises(KeyboardInterrupt):
+        pt.run_mcmc(coords, 60)
+    pt.backend.save_chunk = orig
+
+    np.testing.assert_allclose(pt.betas, np.asarray(pt.backend.betas))
+    assert not np.allclose(pt.betas, bad)  # adaptation actually ran
+    saved = pt.backend.iteration
+    assert 0 < saved < 60
+    pt.run_mcmc(None, 60 - saved)
+    assert pt.backend.iteration == 60
+    assert np.all(np.isfinite(pt.get_chain()))

@@ -134,3 +134,43 @@ def test_find_map_line_fit_workflow():
         jax.random.key(0), theta_map, 1e-3 * jnp.ones(2), 32
     )
     assert p0.shape == (32, 2)
+
+
+def test_defer_interrupts_dispositions():
+    """defer_interrupts holds SIGINT across the block and re-delivers it
+    through the *restored* disposition: default -> KeyboardInterrupt,
+    SIG_IGN -> dropped, custom handler -> invoked; and a body exception
+    is never masked by a pending interrupt."""
+    import os
+    import signal
+
+    from emcee_tpu.utils import defer_interrupts
+
+    prev = signal.getsignal(signal.SIGINT)
+    try:
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+        ran = False
+        with pytest.raises(KeyboardInterrupt):
+            with defer_interrupts():
+                os.kill(os.getpid(), signal.SIGINT)
+                ran = True
+        assert ran  # the block always completes
+
+        signal.signal(signal.SIGINT, signal.SIG_IGN)
+        with defer_interrupts():
+            os.kill(os.getpid(), signal.SIGINT)  # dropped, as configured
+
+        hits = []
+        signal.signal(signal.SIGINT, lambda s, f: hits.append(s))
+        with defer_interrupts():
+            os.kill(os.getpid(), signal.SIGINT)
+            assert not hits  # held during the block
+        assert hits == [signal.SIGINT]
+
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+        with pytest.raises(OSError):
+            with defer_interrupts():
+                os.kill(os.getpid(), signal.SIGINT)
+                raise OSError("body failure wins")
+    finally:
+        signal.signal(signal.SIGINT, prev)
