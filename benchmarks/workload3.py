@@ -90,6 +90,12 @@ def main():
         "dime-aimh": moves.DIMEMove(
             aimh_prob=1.0, randomize_split=False
         ),
+        # Gradient moves (autodiff through the quadratic form): the
+        # step size follows d^(-1/6) (MALA) — 1.4 * 100^(-1/6) ~ 0.65
+        # with the hand preconditioner unavailable here, so use the
+        # affine-invariant ensemble variants that self-precondition.
+        "ens-mala": moves.EnsembleMALAMove(0.5, randomize_split=False),
+        "mala": moves.MALAMove(0.02),
     }[args.config]
 
     sampler = EnsembleSampler(
