@@ -131,6 +131,7 @@ def summary(
     discard: int = 0,
     thin: int = 1,
     hdi_prob: float = 0.94,
+    tau_method: str = "sokal",
 ) -> Summary:
     """Standard posterior report over the stored chain.
 
@@ -142,6 +143,9 @@ def summary(
         discard, thin: forwarded to ``get_chain`` (ignored for raw
             arrays — slice those yourself).
         hdi_prob: mass of the highest-density interval column.
+        tau_method: autocorrelation-time truncation rule — ``"sokal"``
+            (the reference's window, default) or ``"geyer"`` (initial
+            monotone sequence, the Stan/arviz convention).
 
     Returns:
         :class:`Summary` with columns ``mean, sd, hdi_lo, hdi_hi,
@@ -167,7 +171,9 @@ def summary(
     mean = flat.mean(axis=0)
     sd = flat.std(axis=0, ddof=1) if n * nw > 1 else np.full(ndim, np.nan)
     lo, hi = hdi(flat, prob=hdi_prob)
-    tau = np.asarray(autocorr.integrated_time(chain, quiet=True))
+    tau = np.asarray(
+        autocorr.integrated_time(chain, quiet=True, method=tau_method)
+    )
     ess = np.where(tau > 0, n * nw / tau, np.nan)
     mcse = sd / np.sqrt(np.maximum(ess, 1.0))
     if n >= 8 and nw >= 2:

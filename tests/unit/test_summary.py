@@ -149,3 +149,30 @@ def test_stats_module_not_shadowed_by_function():
 
 def test_to_inference_data_requires_arviz():
     pytest.importorskip("arviz", reason="covered when arviz present")
+
+
+def test_summary_tau_method_and_sampler_geyer():
+    """tau_method plumbs through summary, and the sampler's
+    get_autocorr_time forwards method= to the estimator."""
+    import jax
+    import jax.numpy as jnp
+
+    from emcee_tpu import EnsembleSampler, stats
+
+    s = EnsembleSampler(32, 2, lambda x: -0.5 * jnp.sum(x**2), seed=4)
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(4), (32, 2))
+    )
+    s.run_mcmc(coords, 1500)
+
+    tau_g = s.get_autocorr_time(discard=200, quiet=True, method="geyer")
+    tau_s = s.get_autocorr_time(discard=200, quiet=True)
+    assert np.all(tau_g > 0) and np.all(tau_s > 0)
+    assert np.all(np.abs(tau_g - tau_s) / tau_s < 0.5)
+
+    rep_g = stats.summary(s, discard=200, tau_method="geyer")
+    rep_s = stats.summary(s, discard=200)
+    tg = np.array([rep_g.to_dict()[k]["tau"] for k in rep_g.names])
+    ts = np.array([rep_s.to_dict()[k]["tau"] for k in rep_s.names])
+    assert np.all(tg > 0)
+    assert np.all(np.abs(tg - ts) / ts < 0.5)
