@@ -774,6 +774,14 @@ class PTSampler:
         # with the chunk's save/anchors (interrupt consistency).
         return 1.0 / temps, cur
 
+    def _commit_anchors(self, carries, state, new_betas=None):
+        """Advance the resume anchors (and, when adapting, the ladder)
+        as one group; callers wrap this in ``defer_interrupts``."""
+        if new_betas is not None:
+            self.betas = new_betas
+        self._move_carries = carries
+        self._previous_state = state
+
     def _fetch_global(self, out, every_process=False):
         """Device->host fetch that works when arrays are sharded across
         processes: all-gather to every host, then (unless every_process)
@@ -900,10 +908,7 @@ class PTSampler:
                     betas_dev = jnp.asarray(new_betas)
                 if not store:
                     with defer_interrupts():
-                        if new_betas is not None:
-                            self.betas = new_betas
-                        self._move_carries = carries
-                        self._previous_state = state
+                        self._commit_anchors(carries, state, new_betas)
                     continue
                 if (
                     getattr(self.backend, "wants_device_arrays", False)
@@ -917,10 +922,7 @@ class PTSampler:
                     fetched = self._fetch_global((outs, swap_acc))
                     if fetched is None:  # non-zero process: no backend
                         with defer_interrupts():
-                            if new_betas is not None:
-                                self.betas = new_betas
-                            self._move_carries = carries
-                            self._previous_state = state
+                            self._commit_anchors(carries, state, new_betas)
                         continue
                     (coords, ll, lpr, accs), swap_acc_host = fetched
                 swaps_delta = np.asarray(swap_acc_host).sum(axis=1)[
@@ -952,10 +954,7 @@ class PTSampler:
                         state.random_state,
                         self.betas if new_betas is None else new_betas,
                     )
-                    if new_betas is not None:
-                        self.betas = new_betas
-                    self._move_carries = carries
-                    self._previous_state = state
+                    self._commit_anchors(carries, state, new_betas)
         finally:
             # Rebase the swap counters from whatever actually landed, so
             # an interrupted run's partially-credited counters are not

@@ -795,10 +795,6 @@ class EnsembleSampler:
         )
         return _BlobStruct(treedef, shapes, state.blobs)
 
-    # Hold SIGINT across a backend-write + resume-anchor group (see
-    # utils.defer_interrupts).
-    _defer_interrupts = staticmethod(defer_interrupts)
-
     def _grow_blobs_template(self, blobs):
         """Host-side shape/dtype template for ``backend.grow``.
 
@@ -934,7 +930,7 @@ class EnsembleSampler:
             i = 0
             while iterations is None or i < iterations:
                 state, carries, out = run1(state, carries)
-                with self._defer_interrupts():
+                with defer_interrupts():
                     if store:
                         self._save_chunk(out, state.random_state)
                     self._move_carries = carries
@@ -1004,7 +1000,7 @@ class EnsembleSampler:
         # reached the backend — a chunk whose save was interrupted
         # leaves the anchors at the previous consistent point and is
         # simply recomputed on resume (same PRNG state, identical chain).
-        pending = None  # (out, key, state_after, carries_after)
+        pending = None  # (out, state_after, carries_after)
         try:
             with get_progress_bar(
                 progress, total, **progress_kwargs
@@ -1024,13 +1020,13 @@ class EnsembleSampler:
                             # the commit and the anchor updates are
                             # atomic with respect to Ctrl-C.
                             p, pending = pending, None
-                            with self._defer_interrupts():
-                                self._save_chunk(p[0], p[1])
-                                self._previous_state = p[2]
-                                self._move_carries = p[3]
-                        pending = (out, state.random_state, state, carries)
+                            with defer_interrupts():
+                                self._save_chunk(p[0], p[1].random_state)
+                                self._previous_state = p[1]
+                                self._move_carries = p[2]
+                        pending = (out, state, carries)
                     else:
-                        with self._defer_interrupts():
+                        with defer_interrupts():
                             self._previous_state = state
                             self._move_carries = carries
                     stats.chunks += 1
@@ -1047,10 +1043,10 @@ class EnsembleSampler:
             # recomputed by run_mcmc(None, n).
             if store and pending is not None:
                 p, pending = pending, None
-                with self._defer_interrupts():
-                    self._save_chunk(p[0], p[1])
-                    self._previous_state = p[2]
-                    self._move_carries = p[3]
+                with defer_interrupts():
+                    self._save_chunk(p[0], p[1].random_state)
+                    self._previous_state = p[1]
+                    self._move_carries = p[2]
 
         # Block so failures surface here.
         jax.block_until_ready(state.coords)
