@@ -526,3 +526,34 @@ def test_interrupt_inside_save_keeps_chain_consistent():
     assert s.backend.iteration == nsteps
     # Identical to the uninterrupted run: no gap, no duplicate.
     np.testing.assert_array_equal(np.asarray(s.get_chain()), ref_chain)
+
+
+def test_pickling_with_adaptive_moves():
+    """DIME/DEZ adaptation state (moment matrices, the archive ring)
+    lives in device-array carries; it must survive the sampler pickle
+    round-trip so a checkpointed production run resumes adapted."""
+    import pickle
+
+    s = EnsembleSampler(
+        32, 2, normal_log_prob, seed=6,
+        moves=[
+            (moves.DIMEMove(), 0.5),
+            (moves.DEZMove(update_rows=8), 0.5),
+        ],
+    )
+    coords = np.random.default_rng(3).normal(size=(32, 2))
+    s.run_mcmc(coords, 40)
+    w_before = float(s._move_carries[0]["w"])
+    filled_before = int(s._move_carries[1]["filled"])
+    assert w_before > 0 and filled_before > 0
+
+    s2 = pickle.loads(pickle.dumps(s))
+    assert float(s2._move_carries[0]["w"]) == w_before
+    assert int(s2._move_carries[1]["filled"]) == filled_before
+    np.testing.assert_array_equal(
+        np.asarray(s2._move_carries[1]["z"]),
+        np.asarray(s._move_carries[1]["z"]),
+    )
+    s2.run_mcmc(None, 10)  # adaptation continues from the restored carry
+    assert float(s2._move_carries[0]["w"]) > w_before
+    assert s2.backend.iteration == 50
