@@ -168,7 +168,17 @@ class RedBlueMove(ScaleTunable, Move):
 
     def _inner(self, k, s, c_parts, lp_s, blobs_s, log_u, model,
                extra=None, scale=None, carry=None):
-        """Propose/evaluate/accept for one group; returns selected values."""
+        """Propose/evaluate/accept for one group.
+
+        Returns ``(sel_coords, sel_lp, sel_blobs, accepted, stats)``; the
+        fifth slot is an optional per-split tuning-statistics pytree
+        (``None`` here).  A subclass whose update produces adaptation
+        signals beyond the acceptance mask (e.g. the slice move's
+        expansion/contraction counts) returns them there, and the engine
+        hands the collected per-split list to :meth:`_fold_split_stats`
+        after all splits — tuning data travels the traced return path,
+        never mutable object state.
+        """
         if model.axis_name is not None:
             # Each shard proposes against the full global complement.
             c_parts = tuple(
@@ -191,7 +201,13 @@ class RedBlueMove(ScaleTunable, Move):
         sel_blobs = blobs_s
         if new_blobs is not None:
             sel_blobs = tree_where(acc, new_blobs, blobs_s)
-        return sel_coords, sel_lp, sel_blobs, acc
+        return sel_coords, sel_lp, sel_blobs, acc, None
+
+    def _fold_split_stats(self, carry, stats, model):
+        """Fold the per-split ``stats`` payloads (see :meth:`_inner`)
+        into the move carry; runs once per proposal, after all splits.
+        Default: ignore them."""
+        return carry
 
     def _propose_shuffled(
         self, key_perm, split_keys, log_acc_u, extra_u, state, model,
@@ -206,6 +222,7 @@ class RedBlueMove(ScaleTunable, Move):
         log_prob = state.log_prob
         blobs = state.blobs
         accepted = jnp.zeros(nwalkers, dtype=bool)
+        split_stats = []
 
         for split in range(self.nsplits):
             idx = groups[split]
@@ -220,7 +237,7 @@ class RedBlueMove(ScaleTunable, Move):
                 if blobs is not None
                 else None
             )
-            sel_c, sel_lp, sel_b, acc = self._inner(
+            sel_c, sel_lp, sel_b, acc, stats = self._inner(
                 split_keys[split],
                 s,
                 c_parts,
@@ -245,12 +262,16 @@ class RedBlueMove(ScaleTunable, Move):
                     lambda b, n: b.at[idx].set(n), blobs, sel_b
                 )
             accepted = accepted.at[idx].set(acc)
+            if stats is not None:
+                split_stats.append(stats)
 
         new_state = state._replace(
             coords=coords, log_prob=log_prob, blobs=blobs
         )
         if self.wants_carry:
             carry = self.update_carry(carry, new_state, model)
+        if split_stats:
+            carry = self._fold_split_stats(carry, split_stats, model)
         return new_state, accepted, carry
 
     def _propose_blocked(
@@ -272,6 +293,7 @@ class RedBlueMove(ScaleTunable, Move):
         log_prob = state.log_prob
         blobs = state.blobs
         accs = []
+        split_stats = []
 
         def blk(arr, j):
             return arr[j * ng : (j + 1) * ng]
@@ -286,7 +308,7 @@ class RedBlueMove(ScaleTunable, Move):
                 if blobs is not None
                 else None
             )
-            sel_c, sel_lp, sel_b, acc = self._inner(
+            sel_c, sel_lp, sel_b, acc, stats = self._inner(
                 split_keys[split],
                 s,
                 c_parts,
@@ -320,10 +342,14 @@ class RedBlueMove(ScaleTunable, Move):
                     sel_b,
                 )
             accs.append(acc)
+            if stats is not None:
+                split_stats.append(stats)
 
         new_state = state._replace(
             coords=coords, log_prob=log_prob, blobs=blobs
         )
         if self.wants_carry:
             carry = self.update_carry(carry, new_state, model)
+        if split_stats:
+            carry = self._fold_split_stats(carry, split_stats, model)
         return new_state, jnp.concatenate(accs), carry

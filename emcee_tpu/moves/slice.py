@@ -95,12 +95,13 @@ class EnsembleSliceMove(RedBlueMove):
         self.max_shrink = int(max_shrink)
         self.tune_mu = bool(tune_mu)
         super().__init__(**kwargs)
-        self._trace_stats = None
 
     # -- mu adaptation via the standard carry protocol ------------------
     # The carry reuses the family's {log_adj, t} keys so RedBlueMove's
     # propose() hands exp(log_adj) to _inner as the `scale` kwarg; tune()
     # targets a balanced expansion fraction instead of an acceptance rate.
+    # The per-split (nexp, ncon) counts ride _inner's stats return slot
+    # (the engine hands them to _fold_split_stats) — never object state.
 
     def init_carry(self, nwalkers, ndim):
         if not self.tune_mu:
@@ -111,23 +112,15 @@ class EnsembleSliceMove(RedBlueMove):
             "frac_expand": jnp.full((), 0.5, dtype=jnp.float32),
         }
 
-    def propose(self, key, state, model, carry):
-        self._trace_stats = []
-        try:
-            new_state, accepted, carry = super().propose(
-                key, state, model, carry
-            )
-            stats = self._trace_stats
-        finally:
-            self._trace_stats = None
-        if self.tune_mu and isinstance(carry, dict) and stats:
-            nexp = sum(s[0] for s in stats)
-            ncon = sum(s[1] for s in stats)
-            frac = nexp / jnp.maximum(nexp + ncon, 1.0)
-            if model.axis_name is not None:
-                frac = jax.lax.pmean(frac, model.axis_name)
-            carry = {**carry, "frac_expand": frac.astype(jnp.float32)}
-        return new_state, accepted, carry
+    def _fold_split_stats(self, carry, stats, model):
+        if not (self.tune_mu and isinstance(carry, dict)):
+            return carry
+        nexp = sum(s[0] for s in stats)
+        ncon = sum(s[1] for s in stats)
+        frac = nexp / jnp.maximum(nexp + ncon, 1.0)
+        if model.axis_name is not None:
+            frac = jax.lax.pmean(frac, model.axis_name)
+        return {**carry, "frac_expand": frac.astype(jnp.float32)}
 
     def tune(self, carry, state, accepted, model=None):
         if not self.tune_mu or not isinstance(carry, dict):
@@ -299,11 +292,8 @@ class EnsembleSliceMove(RedBlueMove):
             )
         )
 
-        if self._trace_stats is not None:
-            self._trace_stats.append((nexp, ncon))
-
         q = jnp.where(done[:, None], s + t_acc[:, None] * eta, s)
         sel_lp = jnp.where(done, lp_acc, lp_s)
         if not has_blobs:
             sel_blobs = blobs_s
-        return q, sel_lp, sel_blobs, done
+        return q, sel_lp, sel_blobs, done, (nexp, ncon)
