@@ -55,7 +55,10 @@ class PTBackend:
         return (self.ntemps, self.nwalkers, self.ndim)
 
     def grow(self, ngrow):
-        self._size = self.iteration + int(ngrow)
+        new_size = self.iteration + int(ngrow)
+        if self.chain is not None and new_size <= self._size:
+            return  # already pre-sized (run_mcmc pre-grows by nsteps)
+        self._size = new_size
 
         def grown(arr, shape, dt):
             new = np.empty((self._size,) + shape, dtype=dt)
@@ -82,7 +85,9 @@ class PTBackend:
         coords = np.asarray(coords)
         k = coords.shape[0]
         if self.chain is None or self.iteration + k > self._size:
-            self.grow(k)
+            # Un-pre-grown fallback: grow geometrically so repeated
+            # appends amortize to O(n) total copying, not O(chunks * n).
+            self.grow(max(k, self.iteration))
         i = self.iteration
         self.chain[i : i + k] = coords
         self.log_like[i : i + k] = np.asarray(log_like)
@@ -330,6 +335,15 @@ class PTHDFBackend(PTBackend):
                     maxshape=(None,) + shape,
                     dtype=self.dtype,
                 )
+
+    def grow(self, ngrow):
+        """Pre-size the datasets (h5py resize; no data copying)."""
+        with self.open("a") as f:
+            g = f[self.name]
+            size = int(g.attrs["iteration"]) + int(ngrow)
+            for nm in ("chain", "log_like", "log_prior"):
+                if size > g[nm].shape[0]:
+                    g[nm].resize(size, axis=0)
 
     def _attr(self, name):
         with self.open() as f:

@@ -1,0 +1,92 @@
+"""Shared driver plumbing for the flat and tempered samplers.
+
+:class:`~.sampler.EnsembleSampler` and
+:class:`~.parallel.tempering.PTSampler` present the same constructor
+surface for move schedules, reduced-precision storage, and chunk
+scheduling (the reference keeps the analogous parsing inline in one
+driver, ``/root/reference/src/emcee/ensemble.py:115-129``, because it
+only has one); the shared pieces live here so the two drivers cannot
+drift.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["parse_moves", "parse_io_dtype", "chunk_schedule"]
+
+
+def parse_moves(moves, default_move_factory):
+    """Parse a move schedule into ``(moves, normalized_weights)``.
+
+    Accepts a single move, a list of moves, or a weighted
+    ``[(move, weight), ...]`` list (reference ``ensemble.py:115-129``).
+    """
+    if moves is None:
+        return [default_move_factory()], np.array([1.0])
+    if hasattr(moves, "propose"):
+        return [moves], np.array([1.0])
+    moves = list(moves)
+    if all(hasattr(m, "__len__") and len(m) == 2 for m in moves):
+        parsed, w = map(list, zip(*moves))
+        weights = np.asarray(w, dtype=float)
+    else:
+        parsed = moves
+        weights = np.ones(len(moves))
+    if np.any(weights < 0):
+        raise ValueError("Move weights must be non-negative")
+    if np.sum(weights) == 0:
+        raise ValueError("At least one move must have a positive weight")
+    return parsed, weights / np.sum(weights)
+
+
+def parse_io_dtype(io_dtype):
+    """Validate the reduced-precision storage dtype (None passes)."""
+    if io_dtype is None:
+        return None
+    dt = jnp.dtype(io_dtype)
+    if not jnp.issubdtype(dt, jnp.floating):
+        raise ValueError("io_dtype must be a floating dtype")
+    return dt
+
+
+def _schedule_sizes(nsteps, max_chunk):
+    """Split ``nsteps`` into chunk sizes, minimizing distinct scan
+    lengths: a ragged final chunk costs a second XLA compile, so prefer
+    an equal divisor of ``nsteps`` when one exists reasonably close to
+    the memory-derived ``max_chunk``."""
+    if nsteps <= max_chunk:
+        return [nsteps]
+    for d in range(max_chunk, max(1, max_chunk // 2), -1):
+        if nsteps % d == 0:
+            return [d] * (nsteps // d)
+    sizes = [max_chunk] * (nsteps // max_chunk)
+    if nsteps % max_chunk:
+        sizes.append(nsteps % max_chunk)
+    return sizes
+
+
+def chunk_schedule(nsteps, max_chunk, mixture_block=1):
+    """Chunk sizes for ``nsteps`` kept steps.
+
+    With an active ``mixture_block`` (> 1), chunk sizes are kept
+    multiples of the block so the blocked execution path engages (a
+    non-multiple chunk silently falls back to per-proposal move
+    selection); at most one ragged tail chunk takes the fallback.  When
+    the io budget allows fewer kept steps than one block, chunks still
+    hold one whole block (the storage buffer bound becomes
+    ``mixture_block`` steps).
+    """
+    blk = int(mixture_block)
+    if blk > 1:
+        nb, rem = divmod(nsteps, blk)
+        if nb == 0:
+            return [nsteps]
+        sizes = [
+            s * blk for s in _schedule_sizes(nb, max(1, max_chunk // blk))
+        ]
+        if rem:
+            sizes.append(rem)
+        return sizes
+    return _schedule_sizes(nsteps, max_chunk)

@@ -124,6 +124,63 @@ def _named_params_adapter(
     return wrapped
 
 
+class _FunctionWrapper:
+    """Picklable closure over ``(fn, args, kwargs)``.
+
+    Process pools (``multiprocessing.Pool.map``) pickle the mapped
+    callable once per worker; a lambda or local closure cannot cross
+    that boundary (the reference hits the same constraint and ships the
+    same shape of wrapper, ``ensemble.py:616-632``).
+    """
+
+    def __init__(self, f, args, kwargs):
+        self.f = f
+        self.args = args
+        self.kwargs = kwargs
+
+    def __call__(self, x):
+        return self.f(x, *self.args, **self.kwargs)
+
+
+def _normalize_blob_spec(spec):
+    """Normalize a host-callback blob declaration.
+
+    Accepts a dtype-like, a ``(shape, dtype)`` pair, or a list of
+    either (one entry per blob the host function returns after the
+    log-prob).  Returns ``[(per_walker_shape, np.dtype), ...]`` or
+    ``None``.  Structure must be declared up front because the host
+    boundary is crossed from inside jit, where shapes are static —
+    the reference's runtime blob-dtype inference
+    (``ensemble.py:498-547``) has no traced equivalent.
+    """
+    import numpy as np
+
+    if spec is None:
+        return None
+    if not isinstance(spec, (list, tuple)) or (
+        isinstance(spec, tuple)
+        and len(spec) == 2
+        and isinstance(spec[0], (tuple, list))
+    ):
+        spec = [spec]
+    out = []
+    for item in spec:
+        if (
+            isinstance(item, tuple)
+            and len(item) == 2
+            and isinstance(item[0], (tuple, list))
+        ):
+            shape, dt = item
+        else:
+            shape, dt = (), item
+        # Canonicalize (float64 -> float32 without x64): pure_callback
+        # rejects 64-bit result declarations under the default x32 mode,
+        # and the stored chain is x32 there anyway.
+        dt = np.dtype(jax.dtypes.canonicalize_dtype(np.dtype(dt)))
+        out.append((tuple(int(d) for d in shape), dt))
+    return out
+
+
 def canonicalize_output(out):
     """Split a log-prob return value into ``(log_prob, blobs)``.
 
@@ -152,6 +209,8 @@ def wrap_log_prob_fn(
     vectorize: bool = False,
     parameter_names: Optional[Union[Dict[str, Any], List[str]]] = None,
     host_callback: bool = False,
+    pool: Any = None,
+    callback_blobs: Any = None,
     nwalkers: Optional[int] = None,
 ) -> Callable:
     """Build the canonical batched log-prob callable.
@@ -165,8 +224,16 @@ def wrap_log_prob_fn(
       ``pool.map``.
     * ``vectorize=True`` means it already accepts ``(nwalkers, ndim)``.
     * ``host_callback=True`` wraps a non-JAX-traceable function with
-      ``jax.pure_callback`` (the escape hatch replacing arbitrary Python
-      pools; blobs are not supported on this path).
+      ``jax.pure_callback``.  With ``pool`` (any object with a
+      ``.map(fn, iterable)`` — ``multiprocessing.Pool``, a
+      ``concurrent.futures`` executor — or an int worker count for an
+      internally-owned thread pool) the per-walker calls fan out in
+      parallel on the host, the reference's ``pool.map`` mechanism
+      (``ensemble.py:489-496``) for expensive black-box Python
+      likelihoods.  ``callback_blobs`` declares the static structure of
+      per-walker blobs the host function returns after the log-prob
+      (a dtype, a ``(shape, dtype)`` pair, or a list of either) —
+      declared up front because shapes under jit are static.
     """
     args = tuple(args) if args is not None else ()
     kwargs = dict(kwargs) if kwargs is not None else {}
@@ -182,26 +249,77 @@ def wrap_log_prob_fn(
     if host_callback:
         import numpy as np
 
-        def batched(coords):
-            def host_fn(c):
-                c = np.asarray(c)
-                if vectorize:
-                    out = log_prob_fn(c, *args, **kwargs)
-                else:
-                    out = np.array(
-                        [log_prob_fn(x, *args, **kwargs) for x in c]
-                    )
-                return np.asarray(out, dtype=coords.dtype).reshape(
-                    c.shape[0]
-                )
+        blob_leaves = _normalize_blob_spec(callback_blobs)
+        call = _FunctionWrapper(fn, args, kwargs)
+        if pool is None or vectorize:
+            # vectorize=True means the user already batches internally;
+            # there is nothing per-walker to fan out.
+            map_fn = None
+        elif isinstance(pool, (int, np.integer)):
+            from concurrent.futures import ThreadPoolExecutor
 
-            lp = jax.pure_callback(
-                host_fn,
-                jax.ShapeDtypeStruct((coords.shape[0],), coords.dtype),
-                coords,
-                vmap_method="sequential",
+            # Threads beat processes whenever the likelihood releases
+            # the GIL (numpy, scipy, ctypes, IO); for pure-Python
+            # compute pass a multiprocessing.Pool instead.
+            map_fn = ThreadPoolExecutor(int(pool)).map
+        else:
+            map_fn = pool.map
+
+        def host_fn(c):
+            c = np.asarray(c)
+            nw = c.shape[0]
+            if vectorize:
+                res = call(c)
+                if blob_leaves is None:
+                    lp = res[0] if isinstance(res, (tuple, list)) else res
+                    return np.asarray(lp, dtype=c.dtype).reshape(nw)
+                lp = np.asarray(res[0], dtype=c.dtype).reshape(nw)
+                leaves = tuple(
+                    np.asarray(v, dtype=dt).reshape((nw,) + shape)
+                    for v, (shape, dt) in zip(res[1:], blob_leaves)
+                )
+                return (lp,) + leaves
+            if map_fn is not None:
+                results = list(map_fn(call, c))
+            else:
+                results = [call(x) for x in c]
+            if blob_leaves is None:
+                lp = np.asarray(
+                    [
+                        r[0] if isinstance(r, (tuple, list)) else r
+                        for r in results
+                    ],
+                    dtype=c.dtype,
+                )
+                return lp.reshape(nw)
+            lp = np.empty(nw, dtype=c.dtype)
+            leaves = tuple(
+                np.empty((nw,) + shape, dtype=dt)
+                for shape, dt in blob_leaves
             )
-            return lp, None
+            for i, r in enumerate(results):
+                lp[i] = r[0]
+                for leaf, val in zip(leaves, r[1:]):
+                    leaf[i] = val
+            return (lp,) + leaves
+
+        def batched(coords):
+            nw = coords.shape[0]
+            lp_struct = jax.ShapeDtypeStruct((nw,), coords.dtype)
+            if blob_leaves is None:
+                lp = jax.pure_callback(
+                    host_fn, lp_struct, coords, vmap_method="sequential"
+                )
+                return lp, None
+            structs = (lp_struct,) + tuple(
+                jax.ShapeDtypeStruct((nw,) + shape, dt)
+                for shape, dt in blob_leaves
+            )
+            out = jax.pure_callback(
+                host_fn, structs, coords, vmap_method="sequential"
+            )
+            blobs = out[1] if len(blob_leaves) == 1 else tuple(out[1:])
+            return out[0], blobs
 
         # pure_callback has no JVP: gradient moves check this marker so
         # every Model builder (sampler, kernels, tempering) inherits the

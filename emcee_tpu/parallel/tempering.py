@@ -36,8 +36,10 @@ except ImportError:  # pragma: no cover
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import moves as _moves_mod
+from ..driver import chunk_schedule, parse_io_dtype, parse_moves
 from ..model import Model, wrap_log_prob_fn
 from ..ops import autocorr
+from ..pbar import get_progress_bar
 from ..state import State, walkers_independent
 from ..utils import defer_interrupts
 
@@ -102,6 +104,20 @@ class PTSampler:
         swap_every: proposals between swap attempts (default 1).
         seed: PRNG seed or key.
         mesh: optional mesh; walkers shard over ``walker_axis``.
+        parameter_names: list of names or dict name -> index/indices; the
+            log-like and log-prior then receive dicts (same convention as
+            :class:`EnsembleSampler`, reference ``ensemble.py:174-214``).
+        host_callback: wrap non-traceable ``log_like_fn`` /
+            ``log_prior_fn`` with ``jax.pure_callback``; gradient moves
+            are rejected on this path.
+        pool: host-side fan-out for per-walker calls with
+            ``host_callback=True`` (``.map`` object or int worker
+            count); ignored with a warning otherwise.  Dropped on
+            pickling.
+        mixture_block: with a move mixture, draw the move once per block
+            of this many kept steps instead of once per proposal —
+            blocks run as pure-move scans with no per-proposal
+            ``lax.switch`` (same knob as :class:`EnsembleSampler`).
     """
 
     def __init__(
@@ -128,6 +144,10 @@ class PTSampler:
         io_chunk_bytes: int = 1 << 27,
         scan_unroll: int = 4,
         io_dtype=None,
+        parameter_names=None,
+        host_callback: bool = False,
+        pool=None,
+        mixture_block: int = 1,
     ):
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
@@ -142,21 +162,12 @@ class PTSampler:
         self.adaptation_lag = float(adaptation_lag)
         self.adaptation_time = float(adaptation_time)
 
-        if moves is None:
-            self._moves = [_moves_mod.StretchMove()]
-            self._weights = np.array([1.0])
-        elif hasattr(moves, "propose"):
-            self._moves = [moves]
-            self._weights = np.array([1.0])
-        else:
-            moves = list(moves)
-            if all(hasattr(m, "__len__") and len(m) == 2 for m in moves):
-                self._moves, w = map(list, zip(*moves))
-                self._weights = np.asarray(w, dtype=float)
-            else:
-                self._moves = moves
-                self._weights = np.ones(len(moves))
-        self._weights = self._weights / np.sum(self._weights)
+        self._moves, self._weights = parse_moves(
+            moves, _moves_mod.StretchMove
+        )
+        self._mixture_block = int(mixture_block)
+        if self._mixture_block < 1:
+            raise ValueError("mixture_block must be >= 1")
 
         self.mesh = mesh
         self.walker_axis = walker_axis
@@ -192,12 +203,27 @@ class PTSampler:
         else:
             self._key = seed
 
-        self._log_like = wrap_log_prob_fn(
-            log_like_fn, args=args, kwargs=kwargs, vectorize=vectorize
+        import warnings
+
+        if pool is not None and not host_callback:
+            warnings.warn(
+                "'pool' is ignored without host_callback=True: on-device "
+                "evaluation is already batched (see EnsembleSampler)",
+                stacklevel=2,
+            )
+            pool = None
+        self.pool = pool  # never pickled (reference parity)
+        self._log_like_fn = log_like_fn
+        self._log_prior_fn = log_prior_fn
+        self._lp_settings = dict(
+            vectorize=vectorize,
+            parameter_names=parameter_names,
+            host_callback=host_callback,
         )
-        self._log_prior = wrap_log_prob_fn(
-            log_prior_fn, vectorize=vectorize
+        self._like_settings = dict(
+            args=args, kwargs=kwargs, **self._lp_settings
         )
+        self._wrap_fns()
         self._io_chunk_bytes = int(io_chunk_bytes)
         # Per-scan-iteration runtime overhead (~55us on this v5e)
         # dominates small tempered ensembles; unrolling amortizes it,
@@ -208,12 +234,7 @@ class PTSampler:
         # tempered chain is ntemps x larger than a flat one, so this is
         # where compressed streaming pays the most.  log_like/log_prior
         # stay full precision (magnitude can exceed float16 range).
-        if io_dtype is None:
-            self._io_dtype = None
-        else:
-            self._io_dtype = jnp.dtype(io_dtype)
-            if not jnp.issubdtype(self._io_dtype, jnp.floating):
-                raise ValueError("io_dtype must be a floating dtype")
+        self._io_dtype = parse_io_dtype(io_dtype)
 
         # Host-side storage with crash-resume, like EnsembleSampler.
         from ..backends.pt import PTBackend
@@ -253,6 +274,28 @@ class PTSampler:
             self.backend.swaps_proposed, dtype=np.int64
         )
         self._run_cache = {}
+
+    def _wrap_fns(self):
+        self._log_like = wrap_log_prob_fn(
+            self._log_like_fn, pool=self.pool, **self._like_settings
+        )
+        self._log_prior = wrap_log_prob_fn(
+            self._log_prior_fn, pool=self.pool, **self._lp_settings
+        )
+
+    def __getstate__(self):
+        # Jitted chunk runners, wrapped closures, and pools don't pickle;
+        # they rebuild after unpickling (same contract as EnsembleSampler).
+        d = self.__dict__.copy()
+        d["_run_cache"] = {}
+        d["_log_like"] = None
+        d["_log_prior"] = None
+        d["pool"] = None
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._wrap_fns()
 
     def reset(self):
         # Move carries (per-rung tuned scales etc.) survive reset, like
@@ -298,6 +341,12 @@ class PTSampler:
             compute_log_prob=compute,
             axis_name=self._axis_name,
             nwalkers=self.nwalkers,
+            # pure_callback has no JVP — gradient moves must see the
+            # marker and raise their clear error (see model.py).
+            grad_ok=not (
+                getattr(self._log_like, "_no_grad", False)
+                or getattr(self._log_prior, "_no_grad", False)
+            ),
         )
 
     def _init_carries(self):
@@ -313,7 +362,8 @@ class PTSampler:
         )
 
     def _move_step(
-        self, key, coords, log_like, log_prior, betas, carries, tune=False
+        self, key, coords, log_like, log_prior, betas, carries, tune=False,
+        move_index=None,
     ):
         """One ensemble-move proposal at every (local) temperature.
 
@@ -321,6 +371,12 @@ class PTSampler:
         block; per-rung keys come from one global split sliced by the
         shard index so every rung keeps its own stream regardless of the
         mesh shape.  ``betas`` is already the local slice.
+
+        With ``move_index`` (a Python int) the move is fixed — no
+        categorical draw, no ``lax.switch`` — the building block of the
+        ``mixture_block`` execution mode.  The key splits stay identical
+        to the mixture path so streams match across execution modes
+        where possible.
         """
         n_moves = len(self._moves)
         t_local = coords.shape[0]
@@ -341,19 +397,20 @@ class PTSampler:
                 coords=coords_t, log_prob=lp_t, blobs=(ll_t, lpr_t)
             )
 
-            if n_moves == 1:
-                mv = self._moves[0]
+            if n_moves == 1 or move_index is not None:
+                mi = 0 if move_index is None else int(move_index)
+                mv = self._moves[mi]
                 if getattr(mv, "wants_tune_flag", False):
                     new_st, acc, c = mv.propose(
-                        key_t, st, model, carries_t[0], tune=tune
+                        key_t, st, model, carries_t[mi], tune=tune
                     )
                 else:
                     new_st, acc, c = mv.propose(
-                        key_t, st, model, carries_t[0]
+                        key_t, st, model, carries_t[mi]
                     )
                 if tune:
                     c = mv.tune(c, new_st, acc, model)
-                carries_t = (c,)
+                carries_t = carries_t[:mi] + (c,) + carries_t[mi + 1 :]
             else:
 
                 def make_branch(i):
@@ -531,102 +588,160 @@ class PTSampler:
 
         swap_every = self.swap_every
 
-        def one(carry, step_i):
-            # step_i is the GLOBAL proposal index (offset threaded in via
-            # kept0), so the even/odd swap parity and the swap_every phase
-            # stay continuous across chunks and resumed runs — matching
-            # the host-side per-pair attempt accounting in run_mcmc.
-            state, carries, swap_acc_tot, betas = carry
-            key, k_move, k_swap = jax.random.split(state.random_state, 3)
-            t_loc = state.coords.shape[0]
-            if self._temp_axis is not None:
-                tidx = jax.lax.axis_index(self._temp_axis)
-                betas_local = jax.lax.dynamic_slice_in_dim(
-                    betas, tidx * t_loc, t_loc
+        def make_one(move_index):
+            def one(carry, step_i):
+                # step_i is the GLOBAL proposal index (offset threaded in via
+                # kept0), so the even/odd swap parity and the swap_every phase
+                # stay continuous across chunks and resumed runs — matching
+                # the host-side per-pair attempt accounting in run_mcmc.
+                state, carries, swap_acc_tot, betas = carry
+                key, k_move, k_swap = jax.random.split(state.random_state, 3)
+                t_loc = state.coords.shape[0]
+                if self._temp_axis is not None:
+                    tidx = jax.lax.axis_index(self._temp_axis)
+                    betas_local = jax.lax.dynamic_slice_in_dim(
+                        betas, tidx * t_loc, t_loc
+                    )
+                else:
+                    betas_local = betas
+                coords, ll, lpr, acc, carries = self._move_step(
+                    k_move,
+                    state.coords,
+                    state.log_like,
+                    state.log_prior,
+                    betas_local,
+                    carries,
+                    tune=tune,
+                    move_index=move_index,
                 )
-            else:
-                betas_local = betas
-            coords, ll, lpr, acc, carries = self._move_step(
-                k_move,
-                state.coords,
-                state.log_like,
-                state.log_prior,
-                betas_local,
-                carries,
-                tune=tune,
-            )
-            parity = step_i % 2
+                parity = step_i % 2
 
-            def do_swap(args):
-                coords, ll, lpr, swap_acc_tot = args
+                def do_swap(args):
+                    coords, ll, lpr, swap_acc_tot = args
 
-                # Alternate even/odd pairings by step parity; both
-                # parities compiled, selected by lax.cond.
-                def swap_with(par):
-                    def branch(_):
-                        if self._temp_axis is not None:
-                            return self._swap_step_sharded(
+                    # Alternate even/odd pairings by step parity; both
+                    # parities compiled, selected by lax.cond.
+                    def swap_with(par):
+                        def branch(_):
+                            if self._temp_axis is not None:
+                                return self._swap_step_sharded(
+                                    k_swap, coords, ll, lpr, betas, par
+                                )
+                            c, l, p, a, lo = self._swap_step(
                                 k_swap, coords, ll, lpr, betas, par
                             )
-                        c, l, p, a, lo = self._swap_step(
-                            k_swap, coords, ll, lpr, betas, par
+                            return c, l, p, self._scatter_swap_counts(a, par)
+
+                        return branch
+
+                    c, l, p, counts = jax.lax.cond(
+                        parity == 0, swap_with(0), swap_with(1), None
+                    )
+                    return c, l, p, swap_acc_tot + counts
+
+                if swap_every > 0:
+                    do = (step_i % swap_every) == (swap_every - 1)
+                    coords, ll, lpr, swap_acc_tot = jax.lax.cond(
+                        do,
+                        do_swap,
+                        lambda args: args,
+                        (coords, ll, lpr, swap_acc_tot),
+                    )
+
+                state = PTState(
+                    coords=coords,
+                    log_like=ll,
+                    log_prior=lpr,
+                    random_state=key,
+                )
+                return (state, carries, swap_acc_tot, betas), acc
+
+            return one
+
+        def make_kept(one):
+            def kept(carry, step_i):
+                base = step_i * thin_by
+                (state, carries, swp, betas), accs = jax.lax.scan(
+                    one,
+                    carry,
+                    base + jnp.arange(thin_by),
+                    unroll=min(self._scan_unroll, thin_by),
+                )
+                if store:
+                    coords_out = state.coords
+                    if self._io_dtype is not None:
+                        coords_out = coords_out.astype(self._io_dtype)
+                    out = (
+                        coords_out,
+                        state.log_like,
+                        state.log_prior,
+                        accs[-1],
+                    )
+                else:
+                    out = None
+                return (state, carries, swp, betas), out
+
+            return kept
+
+        n_moves = len(self._moves)
+        blk = self._mixture_block
+        if n_moves > 1 and blk > 1 and nkeep % blk == 0:
+            # Blocked mixture: draw the move once per block of `blk`
+            # kept steps; each block runs a pure-move scan with no
+            # per-proposal lax.switch (same validity argument as
+            # EnsembleSampler's mixture_block — a state-independent
+            # schedule of pi-invariant kernels).
+            kepts = [make_kept(make_one(i)) for i in range(n_moves)]
+            weights = jnp.asarray(self._weights)
+
+            def block(carry, block0):
+                state, carries, swp, betas = carry
+                key, k_sel = jax.random.split(state.random_state)
+                state = state._replace(random_state=key)
+                idx = jax.random.choice(k_sel, n_moves, p=weights)
+
+                def make_branch(i):
+                    def branch(c):
+                        (st, cs, sw, b), outs = jax.lax.scan(
+                            kepts[i],
+                            c,
+                            block0 + jnp.arange(blk),
+                            unroll=min(self._scan_unroll, blk),
                         )
-                        return c, l, p, self._scatter_swap_counts(a, par)
+                        return st, cs, sw, b, outs
 
                     return branch
 
-                c, l, p, counts = jax.lax.cond(
-                    parity == 0, swap_with(0), swap_with(1), None
+                st, cs, sw, b, outs = jax.lax.switch(
+                    idx,
+                    [make_branch(i) for i in range(n_moves)],
+                    (state, carries, swp, betas),
                 )
-                return c, l, p, swap_acc_tot + counts
+                return (st, cs, sw, b), outs
 
-            if swap_every > 0:
-                do = (step_i % swap_every) == (swap_every - 1)
-                coords, ll, lpr, swap_acc_tot = jax.lax.cond(
-                    do,
-                    do_swap,
-                    lambda args: args,
-                    (coords, ll, lpr, swap_acc_tot),
+            def chunk(state, carries, swap_acc_tot, betas, kept0):
+                (state, carries, swp, betas), outs = jax.lax.scan(
+                    block,
+                    (state, carries, swap_acc_tot, betas),
+                    kept0 + blk * jnp.arange(nkeep // blk),
                 )
+                if store:
+                    outs = jax.tree_util.tree_map(
+                        lambda o: o.reshape((nkeep,) + o.shape[2:]), outs
+                    )
+                return state, carries, swp, outs
 
-            state = PTState(
-                coords=coords,
-                log_like=ll,
-                log_prior=lpr,
-                random_state=key,
-            )
-            return (state, carries, swap_acc_tot, betas), acc
+        else:
+            kept = make_kept(make_one(None))
 
-        def kept(carry, step_i):
-            base = step_i * thin_by
-            (state, carries, swp, betas), accs = jax.lax.scan(
-                one,
-                carry,
-                base + jnp.arange(thin_by),
-                unroll=min(self._scan_unroll, thin_by),
-            )
-            if store:
-                coords_out = state.coords
-                if self._io_dtype is not None:
-                    coords_out = coords_out.astype(self._io_dtype)
-                out = (
-                    coords_out,
-                    state.log_like,
-                    state.log_prior,
-                    accs[-1],
+            def chunk(state, carries, swap_acc_tot, betas, kept0):
+                (state, carries, swp, betas), outs = jax.lax.scan(
+                    kept,
+                    (state, carries, swap_acc_tot, betas),
+                    kept0 + jnp.arange(nkeep),
+                    unroll=min(self._scan_unroll, nkeep),
                 )
-            else:
-                out = None
-            return (state, carries, swp, betas), out
-
-        def chunk(state, carries, swap_acc_tot, betas, kept0):
-            (state, carries, swp, betas), outs = jax.lax.scan(
-                kept,
-                (state, carries, swap_acc_tot, betas),
-                kept0 + jnp.arange(nkeep),
-                unroll=min(self._scan_unroll, nkeep),
-            )
-            return state, carries, swp, outs
+                return state, carries, swp, outs
 
         if self.mesh is not None:
             ax = self.walker_axis
@@ -795,25 +910,60 @@ class PTSampler:
             return jax.tree_util.tree_map(np.asarray, out)
         return jax.device_get(out)
 
-    def run_mcmc(
-        self,
-        initial_state,
-        nsteps,
-        thin_by=1,
-        store=True,
-        tune=False,
-        skip_initial_state_check=False,
-    ):
-        """Run ``nsteps`` kept steps; returns the final :class:`PTState`."""
+    def _count_proposed_delta(self, lo, hi):
+        """Per-pair swap-attempt counts for global proposal indices
+        ``[lo, hi)`` — mirrors the device schedule exactly (an attempt
+        fires where ``step % swap_every == swap_every - 1``, with
+        even/odd pairing by step parity).  Called once per chunk with
+        that chunk's index range, so the host-side accounting is O(total
+        attempts) over a whole run, not O(chunks x run prefix)."""
+        out = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
+        se = self.swap_every
+        if se <= 0:
+            return out
+        first = lo + ((se - 1 - lo) % se)
+        sidxs = np.arange(first, hi, se, dtype=np.int64)
+        for parity in (0, 1):
+            cnt = int(np.count_nonzero((sidxs % 2) == parity))
+            if cnt:
+                out[parity : self.ntemps - 1 : 2] += cnt * self.nwalkers
+        return out
+
+    def _max_chunk(self, thin_by):
+        """Kept steps per device dispatch, bounded by ``io_chunk_bytes``
+        (4096-step cap: dispatch overhead keeps paying off up to ~4k
+        steps/chunk on this runtime — chunk-length sweep,
+        docs/performance.md)."""
+        full = np.dtype(
+            jax.dtypes.canonicalize_dtype(np.float64)
+        ).itemsize
+        coords_itemsize = (
+            self._io_dtype.itemsize if self._io_dtype is not None else full
+        )
+        n_tw = self.ntemps * self.nwalkers
+        bytes_per_step = (
+            n_tw * self.ndim * coords_itemsize + 3 * n_tw * full
+        )
+        return max(
+            1, min(4096, self._io_chunk_bytes // max(1, bytes_per_step))
+        )
+
+    def _drive(self, initial_state, sizes, thin_by, store, tune,
+               skip_check, pbar=None):
+        """Advance the chain chunk by chunk (the shared engine of
+        :meth:`run_mcmc` and :meth:`sample`).
+
+        Yields the post-chunk :class:`PTState` after each chunk's data
+        and resume anchors have committed; callers pre-grow the backend.
+        """
+        thin_by = int(thin_by)
         if initial_state is None:
             if self._previous_state is None:
                 raise ValueError(
                     "Cannot have `initial_state=None` on the first call"
                 )
             initial_state = self._previous_state
-        state = self._prepare_state(
-            initial_state, skip_initial_state_check
-        )
+        state = self._prepare_state(initial_state, skip_check)
         # Move carries (tuned scales, sequential counters) persist across
         # calls like EnsembleSampler's; reset() keeps them (reference
         # move-object semantics).
@@ -833,46 +983,12 @@ class PTSampler:
                 ),
             )
 
-        coords_itemsize = (
-            self._io_dtype.itemsize
-            if self._io_dtype is not None
-            else state.coords.dtype.itemsize
-        )
-        bytes_per_step = (
-            state.coords.size * coords_itemsize
-            + 3 * state.log_like.size * state.log_like.dtype.itemsize
-        )
-        # 4096-step cap: dispatch overhead keeps paying off up to ~4k
-        # steps/chunk on this runtime (chunk-length sweep,
-        # docs/performance.md).
-        max_chunk = max(
-            1, min(4096, self._io_chunk_bytes // max(1, bytes_per_step))
-        )
-        nsteps = int(nsteps)
-        sizes = (
-            [nsteps]
-            if nsteps <= max_chunk
-            else [max_chunk] * (nsteps // max_chunk)
-            + ([nsteps % max_chunk] if nsteps % max_chunk else [])
-        )
         # Exact per-pair proposal counts, using the same GLOBAL proposal
-        # indices the device uses (kept0 threads the offset into the scan):
-        # an attempt fires where step % swap_every == swap_every - 1, with
-        # even/odd pairing by step parity.
+        # indices the device uses (kept0 threads the offset into the
+        # scan), accumulated incrementally chunk by chunk.
         kept0 = self.backend.iteration if store else 0
-        step0 = kept0 * int(thin_by)
-
-        def count_proposed(lo, hi):
-            """Per-pair attempt counts for global proposal indices
-            [lo, hi) — mirrors the device schedule exactly."""
-            out = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
-            for sidx in range(lo, hi):
-                if self.swap_every > 0 and (
-                    sidx % self.swap_every == self.swap_every - 1
-                ):
-                    pairs = np.arange(sidx % 2, self.ntemps - 1, 2)
-                    out[pairs] += self.nwalkers
-            return out
+        step0 = kept0 * thin_by
+        proposed_cum = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
 
         betas_dev = jnp.asarray(self.betas)
         prev_swaps = np.zeros(max(self.ntemps - 1, 1), dtype=np.int64)
@@ -880,7 +996,7 @@ class PTSampler:
         kept_done = 0
         try:
             for n in sizes:
-                run = self._build_chunk(n, int(thin_by), store, tune)
+                run = self._build_chunk(int(n), thin_by, store, tune)
                 state, carries, swap_acc, outs = run(
                     state,
                     carries,
@@ -888,7 +1004,11 @@ class PTSampler:
                     betas_dev,
                     jnp.asarray(kept0 + kept_done, dtype=jnp.int32),
                 )
-                proposals_done += n * int(thin_by)
+                proposed_cum += self._count_proposed_delta(
+                    step0 + proposals_done,
+                    step0 + proposals_done + n * thin_by,
+                )
+                proposals_done += n * thin_by
                 kept_done += n
                 new_betas = None
                 if self.adaptive:
@@ -898,7 +1018,7 @@ class PTSampler:
                     new_betas, prev_swaps = self._adapt_ladder(
                         swap_acc_host,
                         prev_swaps,
-                        n * int(thin_by),
+                        n * thin_by,
                         proposals_done,
                     )
                     # The next chunk runs on the adapted ladder either
@@ -909,6 +1029,9 @@ class PTSampler:
                 if not store:
                     with defer_interrupts():
                         self._commit_anchors(carries, state, new_betas)
+                    if pbar is not None:
+                        pbar.update(n * thin_by)
+                    yield state
                     continue
                 if (
                     getattr(self.backend, "wants_device_arrays", False)
@@ -923,6 +1046,9 @@ class PTSampler:
                     if fetched is None:  # non-zero process: no backend
                         with defer_interrupts():
                             self._commit_anchors(carries, state, new_betas)
+                        if pbar is not None:
+                            pbar.update(n * thin_by)
+                        yield state
                         continue
                     (coords, ll, lpr, accs), swap_acc_host = fetched
                 swaps_delta = np.asarray(swap_acc_host).sum(axis=1)[
@@ -949,12 +1075,14 @@ class PTSampler:
                         lpr,
                         accs,
                         self._base_swaps_accepted + swaps_delta,
-                        self._base_swaps_proposed
-                        + count_proposed(step0, step0 + proposals_done),
+                        self._base_swaps_proposed + proposed_cum,
                         state.random_state,
                         self.betas if new_betas is None else new_betas,
                     )
                     self._commit_anchors(carries, state, new_betas)
+                if pbar is not None:
+                    pbar.update(n * thin_by)
+                yield state
         finally:
             # Rebase the swap counters from whatever actually landed, so
             # an interrupted run's partially-credited counters are not
@@ -968,6 +1096,46 @@ class PTSampler:
                 self._base_swaps_proposed = np.asarray(
                     self.backend.swaps_proposed
                 )
+
+    def run_mcmc(
+        self,
+        initial_state,
+        nsteps,
+        thin_by=1,
+        store=True,
+        tune=False,
+        skip_initial_state_check=False,
+        progress=False,
+        progress_kwargs=None,
+    ):
+        """Run ``nsteps`` kept steps; returns the final :class:`PTState`."""
+        nsteps = int(nsteps)
+        thin_by = int(thin_by)
+        if store:
+            # Pre-size the chain store once: per-chunk growth would
+            # reallocate-and-copy the whole prefix every chunk.
+            self.backend.grow(nsteps)
+        sizes = chunk_schedule(
+            nsteps,
+            self._max_chunk(thin_by),
+            self._mixture_block if len(self._moves) > 1 else 1,
+        )
+        state = None
+        with get_progress_bar(
+            progress, nsteps * thin_by, **(progress_kwargs or {})
+        ) as pbar:
+            for state in self._drive(
+                initial_state, sizes, thin_by, store, tune,
+                skip_initial_state_check, pbar,
+            ):
+                pass
+        if state is None:  # nsteps == 0
+            state = self._prepare_state(
+                initial_state
+                if initial_state is not None
+                else self._previous_state,
+                skip_initial_state_check,
+            )
         jax.block_until_ready(state.coords)
         return state
 
@@ -979,28 +1147,39 @@ class PTSampler:
         store=True,
         tune=False,
         skip_initial_state_check=False,
+        progress=False,
+        progress_kwargs=None,
     ):
         """Generator yielding a :class:`PTState` every ``thin_by`` proposals
         (the v1.2-era ``PTSampler.sample`` surface).  ``iterations=None``
-        streams forever with ``store=False``."""
+        streams forever with ``store=False``.
+
+        Runs on the same chunked engine as :meth:`run_mcmc` with
+        one-step chunks — storage is pre-grown once and the per-yield
+        cost is O(1) in the chain length (swap accounting is
+        incremental), so a long generator run is O(n), not O(n^2).
+        """
         if iterations is None and store:
             raise ValueError(
                 "'store' must be False when 'iterations' is None"
             )
-        state = initial_state
-        i = 0
-        while iterations is None or i < iterations:
-            state = self.run_mcmc(
-                state,
-                1,
-                thin_by=thin_by,
-                store=store,
-                tune=tune,
-                skip_initial_state_check=skip_initial_state_check or i > 0,
+        if store:
+            self.backend.grow(iterations)
+        if iterations is None:
+            import itertools
+
+            sizes = itertools.repeat(1)
+            total = None
+        else:
+            sizes = [1] * int(iterations)
+            total = int(iterations) * int(thin_by)
+        with get_progress_bar(
+            progress, total, **(progress_kwargs or {})
+        ) as pbar:
+            yield from self._drive(
+                initial_state, sizes, thin_by, store, tune,
+                skip_initial_state_check, pbar,
             )
-            i += 1
-            yield state
-            state = None  # continue from previous state
 
     # ------------------------------------------------------------------
     @property

@@ -44,6 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import moves as _moves_mod
 from .backends import Backend
+from .driver import chunk_schedule, parse_io_dtype, parse_moves
 from .model import Model, wrap_log_prob_fn
 from .ops import autocorr
 from .utils import defer_interrupts
@@ -98,9 +99,22 @@ class EnsembleSampler:
         mesh: optional ``jax.sharding.Mesh`` to shard walkers over.
         walker_axis: mesh axis name holding the walker shards.
         host_callback: wrap a non-traceable ``log_prob_fn`` with
-            ``jax.pure_callback`` (no blobs on this path).
-        pool: accepted for API compatibility and ignored — parallelism is
-            expressed through ``mesh``, not process pools.
+            ``jax.pure_callback``.  Blobs on this path require a
+            ``host_callback_blobs`` declaration.
+        pool: with ``host_callback=True``: the host-side fan-out for
+            per-walker log-prob calls — any object with a
+            ``.map(fn, iterable)`` (``multiprocessing.Pool``, a
+            ``concurrent.futures`` executor) or an int worker count for
+            an internally-owned thread pool.  This is the reference's
+            ``pool.map`` mechanism (``ensemble.py:489-496``) for
+            expensive black-box *Python* likelihoods; JAX-traceable
+            models should use ``mesh`` instead.  Without
+            ``host_callback`` it is ignored with a warning (on-device
+            evaluation is already batched).  Like the reference's pool,
+            it is dropped on pickling.
+        host_callback_blobs: static structure of per-walker blobs the
+            host-callback function returns after the log-prob: a dtype,
+            a ``(shape, dtype)`` pair, or a list of either.
         io_dtype: optional float dtype for *stored* chain coords and float
             blob leaves (e.g. ``np.float16``).  Casting happens inside the
             jitted chunk, before the device->host transfer, so it halves
@@ -133,36 +147,32 @@ class EnsembleSampler:
         scan_unroll: int = 4,
         mixture_block: int = 1,
         io_dtype=None,
+        host_callback_blobs=None,
     ):
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
-        if pool is not None:
+        if pool is not None and not host_callback:
             warnings.warn(
-                "'pool' is ignored: evaluation is batched on device; use "
-                "'mesh' to scale over chips",
+                "'pool' is ignored without host_callback=True: on-device "
+                "evaluation is already batched; use 'mesh' to scale over "
+                "chips, or host_callback=True to fan a black-box Python "
+                "likelihood out over the pool",
                 stacklevel=2,
             )
+            pool = None
+        if host_callback_blobs is not None and not host_callback:
+            raise ValueError(
+                "host_callback_blobs requires host_callback=True; "
+                "JAX-traceable log-probs return blobs directly"
+            )
+        # The pool is never pickled (process pools cannot be; the
+        # reference drops its pool the same way, ensemble.py:250-256).
+        self.pool = pool
 
         # Parse the move schedule (reference ensemble.py:115-129).
-        if moves is None:
-            self._moves = [_moves_mod.StretchMove()]
-            self._weights = np.array([1.0])
-        elif isinstance(moves, _moves_mod.Move) or hasattr(moves, "propose"):
-            self._moves = [moves]
-            self._weights = np.array([1.0])
-        else:
-            moves = list(moves)
-            if all(hasattr(m, "__len__") and len(m) == 2 for m in moves):
-                self._moves, w = map(list, zip(*moves))
-                self._weights = np.asarray(w, dtype=float)
-            else:
-                self._moves = moves
-                self._weights = np.ones(len(moves))
-        if np.any(self._weights < 0):
-            raise ValueError("Move weights must be non-negative")
-        if np.sum(self._weights) == 0:
-            raise ValueError("At least one move must have a positive weight")
-        self._weights = self._weights / np.sum(self._weights)
+        self._moves, self._weights = parse_moves(
+            moves, _moves_mod.StretchMove
+        )
 
         self.backend = Backend() if backend is None else backend
         self.blobs_dtype = blobs_dtype
@@ -227,12 +237,7 @@ class EnsembleSampler:
         # log_prob is never cast (its magnitude can exceed float16 range
         # for large datasets); the live sampling state stays full
         # precision — only the *stored* copies are compressed.
-        if io_dtype is None:
-            self._io_dtype = None
-        else:
-            self._io_dtype = jnp.dtype(io_dtype)
-            if not jnp.issubdtype(self._io_dtype, jnp.floating):
-                raise ValueError("io_dtype must be a floating dtype")
+        self._io_dtype = parse_io_dtype(io_dtype)
 
         # Canonical batched log-prob (settings kept for re-wrapping after
         # unpickling — the wrapped closure itself is not picklable).
@@ -243,9 +248,10 @@ class EnsembleSampler:
             vectorize=vectorize,
             parameter_names=parameter_names,
             host_callback=host_callback,
+            callback_blobs=host_callback_blobs,
         )
         self._compute_log_prob = wrap_log_prob_fn(
-            log_prob_fn, **self._lp_settings
+            log_prob_fn, pool=self.pool, **self._lp_settings
         )
         self._model = self._build_model()
 
@@ -274,12 +280,13 @@ class EnsembleSampler:
         d["_run_chunk_cache"] = {}
         d["_compute_log_prob"] = None
         d["_model"] = None
+        d["pool"] = None  # pools don't pickle (reference parity)
         return d
 
     def __setstate__(self, d):
         self.__dict__.update(d)
         self._compute_log_prob = wrap_log_prob_fn(
-            self.log_prob_fn, **self._lp_settings
+            self.log_prob_fn, pool=self.pool, **self._lp_settings
         )
         self._model = self._build_model()
 
@@ -851,43 +858,8 @@ class EnsembleSampler:
         return int(min(n, 4096))
 
     def _chunk_schedule(self, nsteps, max_chunk):
-        """Split nsteps into chunk sizes, minimizing distinct scan lengths.
-
-        A ragged final chunk costs a second XLA compile; prefer an equal
-        divisor of ``nsteps`` when one exists reasonably close to the
-        memory-derived ``max_chunk``.  With an active ``mixture_block``,
-        chunk sizes are kept multiples of the block so the blocked
-        execution path engages (a non-multiple chunk would silently fall
-        back to per-proposal move selection); at most one ragged tail
-        chunk takes the fallback.  When the io budget allows fewer kept
-        steps than one block, chunks still hold one whole block (the
-        storage buffer bound becomes ``mixture_block`` steps).
-        """
         blk = self._mixture_block if len(self._moves) > 1 else 1
-        if blk > 1:
-            nb, rem = divmod(nsteps, blk)
-            if nb == 0:
-                return [nsteps]
-            sizes = [
-                s * blk
-                for s in self._schedule_sizes(nb, max(1, max_chunk // blk))
-            ]
-            if rem:
-                sizes.append(rem)
-            return sizes
-        return self._schedule_sizes(nsteps, max_chunk)
-
-    @staticmethod
-    def _schedule_sizes(nsteps, max_chunk):
-        if nsteps <= max_chunk:
-            return [nsteps]
-        for d in range(max_chunk, max(1, max_chunk // 2), -1):
-            if nsteps % d == 0:
-                return [d] * (nsteps // d)
-        sizes = [max_chunk] * (nsteps // max_chunk)
-        if nsteps % max_chunk:
-            sizes.append(nsteps % max_chunk)
-        return sizes
+        return chunk_schedule(nsteps, max_chunk, blk)
 
     def sample(
         self,

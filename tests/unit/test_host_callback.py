@@ -1,0 +1,190 @@
+"""Host-callback path: pooled fan-out and declared blobs.
+
+The reference's one real parallelism mechanism for expensive black-box
+Python likelihoods is ``pool.map`` over per-walker calls
+(``/root/reference/src/emcee/ensemble.py:489-496``; the ``parallel.ipynb``
+tutorial workload).  These tests pin the TPU-native equivalent: the
+``host_callback=True`` escape hatch fans per-walker evaluations out over
+a user pool on the host, with blobs declared statically via
+``host_callback_blobs``.
+"""
+
+import multiprocessing
+import pickle
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from emcee_tpu import EnsembleSampler
+
+
+def np_log_prob(x):
+    return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+
+def np_log_prob_blobs(x):
+    x = np.asarray(x)
+    lp = -0.5 * float(np.sum(x**2))
+    return lp, 2.0 * lp, x.astype(np.float32)  # scalar blob + vector blob
+
+
+def run_chain(pool=None, nsteps=8, **kwargs):
+    sampler = EnsembleSampler(
+        16, 2, np_log_prob, host_callback=True, pool=pool, seed=0, **kwargs
+    )
+    coords = np.random.default_rng(0).normal(size=(16, 2))
+    sampler.run_mcmc(coords, nsteps)
+    return sampler
+
+
+def test_pool_chain_matches_sequential():
+    """pool.map preserves order, so the chain is bit-identical."""
+    seq = run_chain(pool=None)
+    with ThreadPoolExecutor(4) as ex:
+        pooled = run_chain(pool=ex)
+    np.testing.assert_array_equal(seq.get_chain(), pooled.get_chain())
+    np.testing.assert_array_equal(
+        seq.get_log_prob(), pooled.get_log_prob()
+    )
+
+
+def test_int_pool_spawns_thread_pool():
+    seq = run_chain(pool=None)
+    pooled = run_chain(pool=4)
+    np.testing.assert_array_equal(seq.get_chain(), pooled.get_chain())
+
+
+def test_multiprocessing_pool():
+    """A process pool needs the mapped callable picklable end to end."""
+    seq = run_chain(pool=None, nsteps=4)
+    with multiprocessing.Pool(2) as p:
+        pooled = run_chain(pool=p, nsteps=4)
+    np.testing.assert_array_equal(seq.get_chain(), pooled.get_chain())
+
+
+def test_host_callback_blobs():
+    """Declared-structure blobs ride the callback; values match the
+    stored chain row by row."""
+    sampler = EnsembleSampler(
+        16,
+        2,
+        np_log_prob_blobs,
+        host_callback=True,
+        host_callback_blobs=[np.float64, ((2,), np.float32)],
+        seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(16, 2))
+    sampler.run_mcmc(coords, 8)
+    chain = sampler.get_chain()  # (it, nw, nd)
+    lp = sampler.get_log_prob()
+    scalar_blob, vec_blob = sampler.get_blobs()
+    assert scalar_blob.shape == (8, 16)
+    assert vec_blob.shape == (8, 16, 2)
+    assert vec_blob.dtype == np.float32
+    np.testing.assert_allclose(scalar_blob, 2.0 * lp, rtol=1e-6)
+    np.testing.assert_allclose(
+        vec_blob, chain.astype(np.float32), rtol=1e-6
+    )
+
+
+def test_host_callback_blobs_pooled():
+    with ThreadPoolExecutor(4) as ex:
+        sampler = EnsembleSampler(
+            16,
+            2,
+            np_log_prob_blobs,
+            host_callback=True,
+            host_callback_blobs=[np.float64, ((2,), np.float32)],
+            pool=ex,
+            seed=0,
+        )
+        coords = np.random.default_rng(0).normal(size=(16, 2))
+        sampler.run_mcmc(coords, 6)
+    scalar_blob, _ = sampler.get_blobs()
+    np.testing.assert_allclose(
+        scalar_blob, 2.0 * sampler.get_log_prob(), rtol=1e-6
+    )
+
+
+def test_host_callback_parameter_names():
+    """parameter_names reaches the host function (the adapter used to be
+    silently bypassed on the callback path)."""
+
+    def named_lp(params):
+        return -0.5 * float(params["a"] ** 2 + np.sum(params["b"] ** 2))
+
+    sampler = EnsembleSampler(
+        16,
+        3,
+        named_lp,
+        host_callback=True,
+        parameter_names={"a": 0, "b": [1, 2]},
+        seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(16, 3))
+    sampler.run_mcmc(coords, 6)
+    lp = sampler.get_log_prob()
+    expected = -0.5 * np.sum(sampler.get_chain() ** 2, axis=-1)
+    np.testing.assert_allclose(lp, expected, rtol=1e-5)
+
+
+def test_pool_without_host_callback_warns_and_is_ignored():
+    with pytest.warns(UserWarning, match="pool"):
+        sampler = EnsembleSampler(
+            16,
+            2,
+            lambda x: -0.5 * np.sum(x**2),
+            pool=4,
+            vectorize=True,
+            seed=0,
+        )
+    assert sampler.pool is None
+
+
+def test_blob_spec_without_host_callback_raises():
+    with pytest.raises(ValueError, match="host_callback"):
+        EnsembleSampler(
+            16,
+            2,
+            np_log_prob_blobs,
+            host_callback_blobs=[np.float64],
+            seed=0,
+        )
+
+
+def test_pickle_drops_pool():
+    with ThreadPoolExecutor(2) as ex:
+        sampler = run_chain(pool=ex, nsteps=4)
+        clone = pickle.loads(pickle.dumps(sampler))
+    assert clone.pool is None
+    # The clone keeps sampling (sequentially) from where it left off.
+    clone.run_mcmc(None, 2)
+    assert clone.get_chain().shape[0] == 6
+
+
+def test_pool_speedup_on_sleeping_likelihood():
+    """The parallel.ipynb workload: a likelihood dominated by per-call
+    latency.  8 workers over 16 walkers must beat sequential by >=2x
+    (ideal 8x; generous bound for CI noise)."""
+
+    def slow_lp(x):
+        time.sleep(0.004)
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    coords = np.random.default_rng(0).normal(size=(16, 2))
+
+    def timed(pool):
+        sampler = EnsembleSampler(
+            16, 2, slow_lp, host_callback=True, pool=pool, seed=0
+        )
+        sampler.run_mcmc(coords, 10)  # warm up the 10-step chunk's jit
+        t0 = time.perf_counter()
+        sampler.run_mcmc(None, 10)
+        return time.perf_counter() - t0
+
+    t_seq = timed(None)
+    with ThreadPoolExecutor(8) as ex:
+        t_par = timed(ex)
+    assert t_par < t_seq / 2.0, (t_seq, t_par)
