@@ -57,6 +57,17 @@ class DEZMove(RedBlueMove):
             ``update_rows``).
         update_rows: ensemble rows folded into the archive per proposal
             (default 64; clamped to the local ensemble size).
+        archive_init: optional ``(n, ndim)`` array of states (e.g. a
+            prior sample) pre-loaded into the archive.  In the
+            few-walker regime this skips the slow ``de_noise``
+            bootstrap entirely: difference vectors are full-rank from
+            step one instead of accumulating hull-escaping directions
+            one random-walk excursion at a time.  Validity is the same
+            adaptation-on-history argument — seeded rows are just
+            history the chain did not have to generate itself (ter
+            Braak & Vrugt 2008 start Z from an over-dispersed initial
+            sample the same way).  Rows beyond ``archive_size`` are
+            dropped (keep the seed no larger than the capacity).
 
     For ``nwalkers < 2 * ndim`` — the use case this move exists for —
     pass ``live_dangerously=True``.  Mixing across the initially
@@ -72,7 +83,8 @@ class DEZMove(RedBlueMove):
 
     def __init__(self, sigma=1.0e-5, gamma0=None, g1_prob=0.1,
                  snooker_prob=0.1, gammas=1.7, de_noise=1.0e-2,
-                 archive_size=None, update_rows=64, **kwargs):
+                 archive_size=None, update_rows=64, archive_init=None,
+                 **kwargs):
         self.sigma = float(sigma)
         self.gamma0 = gamma0
         self.g1_prob = float(g1_prob)
@@ -89,6 +101,15 @@ class DEZMove(RedBlueMove):
         self.update_rows = int(update_rows)
         if self.update_rows < 1:
             raise ValueError("update_rows must be >= 1")
+        if archive_init is not None:
+            import numpy as np
+
+            archive_init = np.asarray(archive_init, dtype=np.float32)
+            if archive_init.ndim != 2:
+                raise ValueError(
+                    "archive_init must be a (n, ndim) array of states"
+                )
+        self.archive_init = archive_init
         super().__init__(**kwargs)
 
     def _capacity(self, nwalkers):
@@ -100,10 +121,23 @@ class DEZMove(RedBlueMove):
 
     def init_carry(self, nwalkers, ndim):
         k = self._capacity(nwalkers)
+        z = jnp.zeros((k, ndim), dtype=jnp.float32)
+        filled = 0
+        if self.archive_init is not None:
+            seed = self.archive_init
+            if seed.shape[1] != ndim:
+                raise ValueError(
+                    f"archive_init has {seed.shape[1]} columns; the "
+                    f"sampler has ndim={ndim}"
+                )
+            filled = min(seed.shape[0], k)
+            z = z.at[:filled].set(jnp.asarray(seed[:filled]))
         return {
-            "z": jnp.zeros((k, ndim), dtype=jnp.float32),
-            "filled": jnp.zeros((), dtype=jnp.int32),
-            "ptr": jnp.zeros((), dtype=jnp.int32),
+            "z": z,
+            "filled": jnp.asarray(filled, dtype=jnp.int32),
+            # Next write lands after the seed (or at 0 when it exactly
+            # fills the ring).
+            "ptr": jnp.asarray(filled % k, dtype=jnp.int32),
             "t": jnp.zeros((), dtype=jnp.int32),  # update counter
         }
 

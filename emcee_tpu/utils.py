@@ -15,7 +15,13 @@ import contextlib
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sample_ball", "sample_ellipsoid", "find_map"]
+__all__ = [
+    "sample_ball",
+    "sample_ellipsoid",
+    "find_map",
+    "encode_str_blob",
+    "decode_str_blobs",
+]
 
 
 @contextlib.contextmanager
@@ -182,3 +188,42 @@ def find_map(
     # NaN-safe winner selection (argmax prefers NaN).
     i = jnp.argmax(jnp.where(jnp.isnan(vs), -jnp.inf, vs))
     return xs[i], vs[i]
+
+
+def encode_str_blob(s, width):
+    """Encode a string as a fixed-width uint8 array blob leaf.
+
+    The reference infers object/string blob dtypes at runtime
+    (``/root/reference/src/emcee/ensemble.py:498-547``); under jit, blob
+    shapes are static, so string metadata rides as fixed-width bytes
+    instead: return ``encode_str_blob(label, W)`` from a host-callback
+    log-prob (declared as ``((W,), np.uint8)`` in
+    ``host_callback_blobs``) and recover the strings after fetching with
+    :func:`decode_str_blobs`.  Over-long strings are truncated to
+    ``width`` bytes; padding is NUL.
+    """
+    import numpy as np
+
+    buf = np.zeros(int(width), dtype=np.uint8)
+    raw = str(s).encode("utf-8")[: int(width)]
+    buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    return buf
+
+
+def decode_str_blobs(arr):
+    """Decode a fetched uint8 blob array back to strings.
+
+    The trailing axis is the byte width; every leading axis is
+    preserved, so ``decode_str_blobs(sampler.get_blobs())`` on a
+    ``(steps, nwalkers, W)`` blob returns a ``(steps, nwalkers)``
+    array of Python strings.
+    """
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    flat = arr.reshape(-1, arr.shape[-1])
+    out = np.array(
+        [bytes(row).rstrip(b"\x00").decode("utf-8") for row in flat],
+        dtype=object,
+    )
+    return out.reshape(arr.shape[:-1])

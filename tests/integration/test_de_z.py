@@ -9,6 +9,7 @@ reference's red-blue guard forbids outright,
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from emcee_tpu import EnsembleSampler, moves
 
@@ -79,6 +80,55 @@ def test_de_z_fewer_walkers_than_2ndim():
     ortho = vt[np.sum(sv > 1e-8):]  # (>=3, ndim)
     proj = flat @ ortho.T
     assert np.all(proj.std(axis=0) > 0.7), proj.std(axis=0)
+
+
+def test_de_z_archive_seeded_skips_bootstrap():
+    """Few-walker regime with a prior-seeded archive: difference vectors
+    are full-rank from step one, so the slow de_noise random-walk
+    bootstrap of the cold archive is skipped.  After a budget far too
+    short for the cold chain to escape the initial affine hull, the
+    seeded chain has already equilibrated along the orthogonal
+    directions (measured ramp: cold reaches ~0.16/0.46/0.86 of the unit
+    spread at 200/400/800 steps; seeded is >0.8 by 200)."""
+    nwalkers, ndim, nsteps = 8, 10, 200
+    coords = np.random.default_rng(2).normal(size=(nwalkers, ndim)) * 0.05
+    prior_sample = np.random.default_rng(3).normal(
+        size=(512, ndim)
+    ) * 2.0  # over-dispersed prior draw, not the target
+
+    def run(move):
+        s = EnsembleSampler(
+            nwalkers, ndim, lambda x: -0.5 * jnp.sum(x**2),
+            moves=move, seed=1,
+        )
+        s.run_mcmc(coords, nsteps, skip_initial_state_check=True)
+        return np.asarray(s.get_chain(discard=nsteps // 2, flat=True))
+
+    common = dict(update_rows=8, de_noise=1e-2, live_dangerously=True)
+    flat_cold = run(moves.DEZMove(**common))
+    flat_seed = run(moves.DEZMove(archive_init=prior_sample, **common))
+
+    # Directions orthogonal to the tiny initial hull.
+    centered = coords - coords.mean(axis=0)
+    _, sv, vt = np.linalg.svd(centered, full_matrices=True)
+    ortho = vt[np.sum(sv > 1e-8):]
+    std_cold = (flat_cold @ ortho.T).std(axis=0)
+    std_seed = (flat_seed @ ortho.T).std(axis=0)
+    # Seeded: near-unit spread along every orthogonal direction; cold:
+    # still crawling out of the hull at this budget.
+    assert np.all(std_seed > 0.7), std_seed
+    assert std_cold.min() < 0.5 * std_seed.min(), (std_cold, std_seed)
+
+
+def test_de_z_archive_init_validation():
+    with pytest.raises(ValueError, match="archive_init"):
+        moves.DEZMove(archive_init=np.zeros(5))
+    move = moves.DEZMove(archive_init=np.zeros((4, 3)))
+    with pytest.raises(ValueError, match="ndim"):
+        move.init_carry(8, 2)
+    carry = move.init_carry(8, 3)
+    assert int(carry["filled"]) == 4
+    assert int(carry["ptr"]) == 4
 
 
 def test_de_z_pure_snooker():

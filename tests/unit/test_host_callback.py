@@ -188,3 +188,38 @@ def test_pool_speedup_on_sleeping_likelihood():
     with ThreadPoolExecutor(8) as ex:
         t_par = timed(ex)
     assert t_par < t_seq / 2.0, (t_seq, t_par)
+
+
+def test_string_blobs_roundtrip(tmp_path):
+    """The docs/blobs.md escape hatch: fixed-width byte blobs carry
+    strings through the callback path, the HDF backend, and back."""
+    from emcee_tpu.backends import HDFBackend
+    from emcee_tpu.utils import decode_str_blobs, encode_str_blob
+
+    def lp_with_label(x):
+        x = np.asarray(x)
+        lp = -0.5 * float(np.sum(x**2))
+        label = "pos" if x[0] > 0 else "negative"
+        return lp, encode_str_blob(label, 16)
+
+    backend = HDFBackend(str(tmp_path / "labels.h5"))
+    sampler = EnsembleSampler(
+        16,
+        2,
+        lp_with_label,
+        host_callback=True,
+        host_callback_blobs=[((16,), np.uint8)],
+        backend=backend,
+        seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(16, 2))
+    sampler.run_mcmc(coords, 6)
+    labels = decode_str_blobs(sampler.get_blobs())
+    assert labels.shape == (6, 16)
+    chain = np.asarray(sampler.get_chain())
+    expected = np.where(chain[..., 0] > 0, "pos", "negative")
+    np.testing.assert_array_equal(labels, expected)
+    # And through a fresh read of the HDF file.
+    reloaded = HDFBackend(str(tmp_path / "labels.h5"), read_only=True)
+    labels2 = decode_str_blobs(np.asarray(reloaded.get_blobs()))
+    np.testing.assert_array_equal(labels2, expected)
