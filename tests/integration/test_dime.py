@@ -141,3 +141,120 @@ def test_dime_off_center_target():
     assert np.all(np.abs(flat.std(axis=0) - 1.0) < 0.1)
     cov = np.asarray(sampler._move_carries[0]["cov"])
     assert np.all(np.linalg.eigvalsh(cov) > 0)  # PSD, no cancellation
+
+
+# -- multi-component proposal (n_components > 1) -------------------------
+
+SEP, S_SMALL = 6.0, 0.2
+
+
+def lp_asym_bimodal(x):
+    """Two well-separated modes of very unequal scale: wide N(-SEP, 1)
+    and narrow N(+SEP, S_SMALL^2) with equal mass."""
+    d = x.shape[-1]
+    a = -0.5 * jnp.sum((x + SEP) ** 2)
+    b = (
+        -0.5 * jnp.sum((x - SEP) ** 2) / S_SMALL**2
+        - d * jnp.log(S_SMALL)
+    )
+    return jnp.logaddexp(a, b)
+
+
+def _asym_start(nw, d, rng):
+    return np.concatenate(
+        [
+            rng.normal(size=(nw // 2, d)) - SEP,
+            rng.normal(size=(nw // 2, d)) * S_SMALL + SEP,
+        ]
+    )
+
+
+def test_normal_dime_mixture_components():
+    # K > 1 on a unimodal target must not regress the standard oracle.
+    _test_normal(moves.DIMEMove(n_components=2))
+    _test_normal(moves.DIMEMove(n_components=3), ndim=3)
+
+
+def test_dime_mixture_recovers_asymmetric_bimodal_tau():
+    """The round-4 criterion: one global Student-t mis-serves two modes
+    of unequal shape (its spread is dominated by the separation, so
+    draws rarely land inside the narrow mode) — tau degrades >=5x vs
+    the unimodal baseline; the K=2 mixture recovers to <=2.5x.
+    Measured: uni 4.2, K=1 bimodal ~112 (27x), K=2 bimodal ~6.2 (1.5x).
+    """
+    from emcee_tpu.ops import autocorr
+
+    nw, d, nsteps = 64, 3, 3000
+    rng = np.random.default_rng(0)
+    p0 = _asym_start(nw, d, rng)
+
+    def tau_of(move, lp, p0):
+        s = EnsembleSampler(nw, d, lp, moves=move, seed=0)
+        s.run_mcmc(p0, nsteps)
+        chain = np.asarray(s.get_chain(discard=nsteps // 3))
+        return float(
+            np.max(autocorr.integrated_time(chain, quiet=True))
+        )
+
+    tau_uni = tau_of(
+        moves.DIMEMove(aimh_prob=0.3),
+        lambda x: -0.5 * jnp.sum(x**2),
+        rng.normal(size=(nw, d)),
+    )
+    tau_single = tau_of(moves.DIMEMove(aimh_prob=0.3), lp_asym_bimodal, p0)
+    tau_mix = tau_of(
+        moves.DIMEMove(aimh_prob=0.3, n_components=2), lp_asym_bimodal, p0
+    )
+    assert tau_single > 5.0 * tau_uni, (tau_uni, tau_single)
+    assert tau_mix < 2.5 * tau_uni, (tau_uni, tau_mix)
+
+
+def test_dime_mixture_samples_asymmetric_modes_correctly():
+    """Mode masses and the narrow mode's scale are both right — the
+    exactness of the mixture-density MH factor in practice."""
+    nw, d, nsteps = 64, 2, 4000
+    rng = np.random.default_rng(1)
+    p0 = _asym_start(nw, d, rng)
+    s = EnsembleSampler(
+        nw, d, lp_asym_bimodal,
+        moves=moves.DIMEMove(aimh_prob=0.3, n_components=2), seed=2,
+    )
+    s.run_mcmc(p0, nsteps)
+    flat = np.asarray(s.get_chain(discard=nsteps // 2, flat=True))
+    in_narrow = flat[:, 0] > 0
+    frac = in_narrow.mean()
+    assert abs(frac - 0.5) < 0.06, frac
+    narrow = flat[in_narrow]
+    wide = flat[~in_narrow]
+    assert np.all(np.abs(narrow.mean(0) - SEP) < 0.05), narrow.mean(0)
+    assert np.all(
+        np.abs(narrow.std(0) - S_SMALL) < 0.05
+    ), narrow.std(0)
+    assert np.all(np.abs(wide.mean(0) + SEP) < 0.25), wide.mean(0)
+    assert np.all(np.abs(wide.std(0) - 1.0) < 0.25), wide.std(0)
+
+
+def test_dime_mixture_pure_independence():
+    # aimh_prob=1 with K=2: the mixture-density MH factor stands alone.
+    nw, d, nsteps = 64, 2, 3000
+    rng = np.random.default_rng(3)
+    p0 = _asym_start(nw, d, rng)
+    s = EnsembleSampler(
+        nw, d, lp_asym_bimodal,
+        moves=moves.DIMEMove(aimh_prob=1.0, n_components=2), seed=4,
+    )
+    s.run_mcmc(p0, nsteps)
+    flat = np.asarray(s.get_chain(discard=nsteps // 2, flat=True))
+    frac = (flat[:, 0] > 0).mean()
+    assert abs(frac - 0.5) < 0.06, frac
+
+
+def test_dime_mixture_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="n_components"):
+        moves.DIMEMove(n_components=0)
+    carry = moves.DIMEMove(n_components=3).init_carry(16, 2)
+    assert carry["mean"].shape == (3, 2)
+    assert carry["cov"].shape == (3, 2, 2)
+    assert carry["w"].shape == (3,)

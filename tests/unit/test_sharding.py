@@ -281,6 +281,26 @@ def test_sharded_dime_matches_dense_statistics():
         assert np.all(np.abs(cov - np.eye(3)) < 0.4)
 
 
+def test_sharded_dime_multicomponent_matches_dense():
+    """n_components>1 sharded: assignments/psum moments and the
+    all-gathered cold-start seed rows must keep the replicated carry
+    consistent, and the chain statistically matches a dense run."""
+    mesh = walker_mesh()
+    nsteps = 800
+    mv = lambda: moves.DIMEMove(n_components=2, aimh_prob=0.2)  # noqa: E731
+    s_sh = _run(mesh, move=mv(), nwalkers=64, nsteps=nsteps)
+    s_dn = _run(None, move=mv(), nwalkers=64, nsteps=nsteps)
+    for s in (s_sh, s_dn):
+        chain = np.asarray(s.get_chain(flat=True, discard=nsteps // 4))
+        assert np.all(np.abs(chain.mean(0)) < 0.15)
+        assert np.all(np.abs(chain.std(0) - 1) < 0.12)
+        carry = s._move_carries[0]
+        assert np.asarray(carry["mean"]).shape == (2, 3)
+        assert np.all(np.isfinite(np.asarray(carry["cov"])))
+        # Weights sum to the decayed history mass on both paths.
+        assert float(np.asarray(carry["w"]).sum()) > 0
+
+
 def test_sharded_dime_in_mixture():
     """DIME's dict carry threads through the lax.switch mixture path."""
     mesh = walker_mesh()
