@@ -27,6 +27,7 @@ backend resume), but the execution model is redesigned for XLA:
 
 from __future__ import annotations
 
+import os
 import time
 import warnings
 from typing import Any, Optional
@@ -984,6 +985,20 @@ class EnsembleSampler:
                     )
                     state, carries, out = run(state, carries)
                     if store:
+                        if not getattr(
+                            self.backend, "wants_device_arrays", False
+                        ) and not os.environ.get("EMCEE_TPU_SYNC_FETCH"):
+                            # Kick the device->host DMA for this chunk
+                            # now, so the transfer overlaps the next
+                            # chunk's compute instead of starting only
+                            # when device_get blocks on it.  (The env
+                            # toggle exists for A/B measurement only.)
+                            jax.tree_util.tree_map(
+                                lambda a: a.copy_to_host_async()
+                                if hasattr(a, "copy_to_host_async")
+                                else None,
+                                out,
+                            )
                         if pending is not None:
                             # Consume before saving: a KeyboardInterrupt
                             # landing inside _save_chunk must not trigger
