@@ -18,6 +18,7 @@ import numpy as np
 from ..state import State  # noqa: F401  (re-export convenience)
 from .backend import _key_data, _wrap_key
 from .device import _DeviceChunkStore
+from .hdf import _flatten_blobs, _pack_records, _unpack_records
 
 try:
     import h5py
@@ -43,6 +44,7 @@ class PTBackend:
         self.chain = None
         self.log_like = None
         self.log_prior = None
+        self.blobs = None
         self.accepted = np.zeros((self.ntemps, self.nwalkers), np.int64)
         self.swaps_accepted = np.zeros(max(self.ntemps - 1, 1), np.int64)
         self.swaps_proposed = np.zeros(max(self.ntemps - 1, 1), np.int64)
@@ -54,7 +56,11 @@ class PTBackend:
     def shape(self):
         return (self.ntemps, self.nwalkers, self.ndim)
 
-    def grow(self, ngrow):
+    @property
+    def has_blobs(self):
+        return self.blobs is not None
+
+    def grow(self, ngrow, blobs=None):
         new_size = self.iteration + int(ngrow)
         if self.chain is not None and new_size <= self._size:
             return  # already pre-sized (run_mcmc pre-grows by nsteps)
@@ -70,6 +76,26 @@ class PTBackend:
         self.chain = grown(self.chain, (T, nw, nd), self.dtype)
         self.log_like = grown(self.log_like, (T, nw), self.dtype)
         self.log_prior = grown(self.log_prior, (T, nw), self.dtype)
+        if blobs is not None:
+            example = jax.tree_util.tree_map(np.asarray, blobs)
+            if self.blobs is None:
+                self.blobs = jax.tree_util.tree_map(
+                    lambda b: np.empty(
+                        (self._size,) + b.shape, dtype=b.dtype
+                    ),
+                    example,
+                )
+            else:
+                self.blobs = jax.tree_util.tree_map(
+                    lambda old, b: grown(old, b.shape, old.dtype),
+                    self.blobs,
+                    example,
+                )
+        elif self.blobs is not None:
+            self.blobs = jax.tree_util.tree_map(
+                lambda old: grown(old, old.shape[1:], old.dtype),
+                self.blobs,
+            )
 
     def save_chunk(
         self,
@@ -81,17 +107,31 @@ class PTBackend:
         swaps_proposed,
         random_state,
         betas,
+        blobs=None,
     ):
         coords = np.asarray(coords)
         k = coords.shape[0]
         if self.chain is None or self.iteration + k > self._size:
             # Un-pre-grown fallback: grow geometrically so repeated
             # appends amortize to O(n) total copying, not O(chunks * n).
-            self.grow(max(k, self.iteration))
+            template = None
+            if blobs is not None:
+                template = jax.tree_util.tree_map(
+                    lambda b: np.asarray(b)[0], blobs
+                )
+            self.grow(max(k, self.iteration), template)
         i = self.iteration
         self.chain[i : i + k] = coords
         self.log_like[i : i + k] = np.asarray(log_like)
         self.log_prior[i : i + k] = np.asarray(log_prior)
+        if blobs is not None:
+            jax.tree_util.tree_map(
+                lambda dst, src: dst.__setitem__(
+                    slice(i, i + k), np.asarray(src)
+                ),
+                self.blobs,
+                blobs,
+            )
         self.accepted += np.asarray(accepted).sum(axis=0)
         self.swaps_accepted = np.asarray(swaps_accepted)
         self.swaps_proposed = np.asarray(swaps_proposed)
@@ -122,6 +162,27 @@ class PTBackend:
     def get_log_prior(self, discard=0, thin=1):
         return self._get("log_prior", discard, thin)
 
+    def get_blobs(self, discard=0, thin=1, temp=None):
+        if not self.has_blobs:
+            return None
+        if self.iteration <= 0:
+            raise AttributeError(
+                "you must run the sampler with 'store == True' before "
+                "accessing the results"
+            )
+
+        def sl(leaf):
+            v = leaf[discard + thin - 1 : self.iteration : thin]
+            return v[:, temp] if temp is not None else v
+
+        return jax.tree_util.tree_map(sl, self.blobs)
+
+    def _last_blobs(self):
+        if not self.has_blobs:
+            return None
+        it = self.iteration
+        return jax.tree_util.tree_map(lambda b: b[it - 1], self.blobs)
+
     def get_last_sample(self):
         from ..parallel.tempering import PTState
 
@@ -133,6 +194,7 @@ class PTBackend:
             log_like=self.log_like[it - 1],
             log_prior=self.log_prior[it - 1],
             random_state=_wrap_key(self.random_state),
+            blobs=self._last_blobs(),
         )
 
 
@@ -191,6 +253,19 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
             )
 
     @property
+    def blobs(self):
+        if not self._chunks or self._chunks[0][4] is None:
+            return None
+        return self._field(4)
+
+    @blobs.setter
+    def blobs(self, value):
+        if value is not None:
+            raise AttributeError(
+                "PTDeviceBackend.blobs is derived; not settable"
+            )
+
+    @property
     def accepted(self):
         return self._accepted_total()
 
@@ -198,7 +273,7 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
     def accepted(self, value):
         self._set_accepted_base(value)
 
-    def grow(self, ngrow):
+    def grow(self, ngrow, blobs=None):
         self._size = self.iteration + int(ngrow)
 
     def save_chunk(
@@ -211,8 +286,11 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
         swaps_proposed,
         random_state,
         betas,
+        blobs=None,
     ):
-        self._append_chunk((coords, log_like, log_prior, accepted))
+        self._append_chunk(
+            (coords, log_like, log_prior, accepted, blobs)
+        )
         self.iteration += int(coords.shape[0])
         # The swap counters and ladder arrive as host numpy (the run
         # loop fetches them for its own bookkeeping); only random_state
@@ -229,12 +307,16 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
 
         if self.iteration <= 0:
             raise AttributeError("empty backend")
-        coords, ll, lpr, _ = self._chunks[-1]
+        coords, ll, lpr, _, blobs = self._chunks[-1]
+        last_blobs = None
+        if blobs is not None:
+            last_blobs = jax.tree_util.tree_map(lambda b: b[-1], blobs)
         return PTState(
             coords=coords[-1],
             log_like=ll[-1],
             log_prior=lpr[-1],
             random_state=_wrap_key(self.random_state),
+            blobs=last_blobs,
         )
 
     def to_host(self, backend=None):
@@ -260,6 +342,11 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
             accepted[0] = np.asarray(self.accepted) - np.asarray(
                 backend.accepted
             )
+            blobs = None
+            if self.blobs is not None:
+                blobs = jax.tree_util.tree_map(
+                    lambda b: np.asarray(b[sl]), self.blobs
+                )
             backend.save_chunk(
                 np.asarray(self.chain[sl]),
                 np.asarray(self.log_like[sl]),
@@ -269,6 +356,7 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
                 self.swaps_proposed,
                 _wrap_key(self.random_state),
                 self.betas,
+                blobs=blobs,
             )
         return backend
 
@@ -323,6 +411,7 @@ class PTHDFBackend(PTBackend):
             g.create_dataset(
                 "swaps_proposed", data=np.zeros(max(T - 1, 1))
             )
+            g.attrs["has_blobs"] = False
             g.create_dataset("betas", data=np.zeros(T))
             for nm, shape in [
                 ("chain", (T, nw, nd)),
@@ -336,12 +425,39 @@ class PTHDFBackend(PTBackend):
                     dtype=self.dtype,
                 )
 
-    def grow(self, ngrow):
+    def _ensure_blob_dataset(self, g, blobs_template):
+        """Create the structured blobs dataset from a per-step template
+        (leaves with leading ``(T, nw)`` axes) on first sight."""
+        if "blobs" in g:
+            return
+        leaves, kind, names = _flatten_blobs(blobs_template)
+        if names is None:
+            names = [f"blob{i}" for i in range(len(leaves))]
+        dtype = np.dtype(
+            [
+                (name, leaf.dtype, leaf.shape[2:])
+                for name, leaf in zip(names, leaves)
+            ]
+        )
+        T, nw = leaves[0].shape[:2]
+        g.create_dataset(
+            "blobs", (0, T, nw), maxshape=(None, T, nw), dtype=dtype
+        )
+        g.attrs["has_blobs"] = True
+        g.attrs["blobs_kind"] = kind
+        g.attrs["blobs_fields"] = names
+
+    def grow(self, ngrow, blobs=None):
         """Pre-size the datasets (h5py resize; no data copying)."""
         with self.open("a") as f:
             g = f[self.name]
+            if blobs is not None:
+                self._ensure_blob_dataset(g, blobs)
             size = int(g.attrs["iteration"]) + int(ngrow)
-            for nm in ("chain", "log_like", "log_prior"):
+            names = ("chain", "log_like", "log_prior") + (
+                ("blobs",) if "blobs" in g else ()
+            )
+            for nm in names:
                 if size > g[nm].shape[0]:
                     g[nm].resize(size, axis=0)
 
@@ -406,17 +522,37 @@ class PTHDFBackend(PTBackend):
         swaps_proposed,
         random_state,
         betas,
+        blobs=None,
     ):
         coords = np.asarray(coords)
         k = coords.shape[0]
         with self.open("a") as f:
             g = f[self.name]
             it = int(g.attrs["iteration"])
-            for nm, val in [
+            writes = [
                 ("chain", coords),
                 ("log_like", np.asarray(log_like)),
                 ("log_prior", np.asarray(log_prior)),
-            ]:
+            ]
+            if blobs is not None:
+                if "blobs" not in g:
+                    self._ensure_blob_dataset(
+                        g,
+                        jax.tree_util.tree_map(
+                            lambda b: np.asarray(b)[0], blobs
+                        ),
+                    )
+                leaves, _, _ = _flatten_blobs(blobs)
+                names = list(g.attrs["blobs_fields"])
+                if len(names) != len(leaves):
+                    raise ValueError(
+                        "blob structure changed: file stores "
+                        f"{len(names)} fields, got {len(leaves)} leaves"
+                    )
+                writes.append(
+                    ("blobs", _pack_records(leaves, names, lead_ndim=3))
+                )
+            for nm, val in writes:
                 ds = g[nm]
                 if it + k > ds.shape[0]:
                     ds.resize(it + k, axis=0)
@@ -432,6 +568,11 @@ class PTHDFBackend(PTBackend):
                 g.attrs["jax_random_state"] = kd
             g.attrs["iteration"] = it + k
 
+    @property
+    def has_blobs(self):
+        with self.open() as f:
+            return bool(f[self.name].attrs.get("has_blobs", False))
+
     def _get(self, name, discard=0, thin=1):
         with self.open() as f:
             g = f[self.name]
@@ -443,6 +584,14 @@ class PTHDFBackend(PTBackend):
                 )
             return np.asarray(g[name][discard + thin - 1 : it : thin])
 
+    def get_blobs(self, discard=0, thin=1, temp=None):
+        """Stored blobs as a structured record array ``(it, T, nw)``
+        (one field per blob leaf), or one rung's with ``temp``."""
+        if not self.has_blobs:
+            return None
+        v = self._get("blobs", discard, thin)
+        return v[:, temp] if temp is not None else v
+
     def get_last_sample(self):
         from ..parallel.tempering import PTState
 
@@ -451,9 +600,19 @@ class PTHDFBackend(PTBackend):
             it = int(g.attrs["iteration"])
             if it <= 0:
                 raise AttributeError("empty backend")
+            blobs = None
+            if g.attrs.get("has_blobs", False):
+                row = g["blobs"][it - 1]  # structured (T, nw)
+                kind = g.attrs.get("blobs_kind", "leaf")
+                names = list(g.attrs["blobs_fields"])
+                if kind == "leaf":
+                    blobs = np.asarray(row[names[0]])
+                else:
+                    blobs = _unpack_records(row, kind, names)
             return PTState(
                 coords=np.asarray(g["chain"][it - 1]),
                 log_like=np.asarray(g["log_like"][it - 1]),
                 log_prior=np.asarray(g["log_prior"][it - 1]),
                 random_state=_wrap_key(self.random_state),
+                blobs=blobs,
             )

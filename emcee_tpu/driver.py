@@ -14,7 +14,47 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["parse_moves", "parse_io_dtype", "chunk_schedule"]
+__all__ = [
+    "parse_moves",
+    "parse_io_dtype",
+    "chunk_schedule",
+    "BlobStruct",
+    "blobs_struct_of",
+]
+
+
+class BlobStruct:
+    """Hashable token describing a blob pytree (for the jit cache) that
+    also carries an example tree for building PartitionSpec trees."""
+
+    def __init__(self, treedef, shapes, example):
+        self.treedef = treedef
+        self.shapes = shapes
+        self.example = example
+
+    def __hash__(self):
+        return hash((self.treedef, self.shapes))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, BlobStruct)
+            and self.treedef == other.treedef
+            and self.shapes == other.shapes
+        )
+
+
+def blobs_struct_of(blobs):
+    """Hashable structural token of a blob pytree (None passes)."""
+    import jax
+
+    if blobs is None:
+        return None
+    leaves, treedef = jax.tree_util.tree_flatten(blobs)
+    shapes = tuple(
+        (tuple(leaf.shape), jnp.asarray(leaf).dtype.name)
+        for leaf in leaves
+    )
+    return BlobStruct(treedef, shapes, blobs)
 
 
 def parse_moves(moves, default_move_factory):

@@ -22,6 +22,7 @@ spacing ``ratio = 1 + sqrt(2/ndim)`` appropriate for Gaussian-like targets.
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -36,7 +37,12 @@ except ImportError:  # pragma: no cover
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import moves as _moves_mod
-from ..driver import chunk_schedule, parse_io_dtype, parse_moves
+from ..driver import (
+    blobs_struct_of,
+    chunk_schedule,
+    parse_io_dtype,
+    parse_moves,
+)
 from ..model import Model, wrap_log_prob_fn
 from ..ops import autocorr
 from ..pbar import get_progress_bar
@@ -74,6 +80,9 @@ class PTState(NamedTuple):
     log_like: jax.Array  # (T, nw)
     log_prior: jax.Array  # (T, nw)
     random_state: Optional[jax.Array] = None
+    #: user blobs returned by ``log_like_fn`` after the likelihood
+    #: (pytree of (T, nw, ...) leaves), or None.
+    blobs: Optional[Any] = None
 
     @property
     def ntemps(self):
@@ -327,15 +336,22 @@ class PTSampler:
 
     # ------------------------------------------------------------------
     def _tempered_model(self, beta):
-        """Model whose log-prob is beta*logL + logP, blobs=(logL, logP)."""
+        """Model whose log-prob is beta*logL + logP.
+
+        The move-level blobs are ``(logL, logP, user_blobs)`` — the
+        first two are the tempered bookkeeping, the third carries any
+        extra values ``log_like_fn`` returns (reference blob semantics;
+        ``log_prior_fn`` blobs are ignored).  Moves treat the tuple as
+        an opaque pytree, so accepted proposals carry all three along.
+        """
 
         def compute(q):
-            ll, _ = self._log_like(q)
+            ll, ublobs = self._log_like(q)
             lpr, _ = self._log_prior(q)
             finite = lpr > -jnp.inf
             ll = jnp.where(finite, ll, 0.0)
             lp = jnp.where(finite, beta * ll + lpr, -jnp.inf)
-            return lp, (ll, lpr)
+            return lp, (ll, lpr, ublobs)
 
         return Model(
             compute_log_prob=compute,
@@ -362,8 +378,8 @@ class PTSampler:
         )
 
     def _move_step(
-        self, key, coords, log_like, log_prior, betas, carries, tune=False,
-        move_index=None,
+        self, key, coords, log_like, log_prior, blobs, betas, carries,
+        tune=False, move_index=None,
     ):
         """One ensemble-move proposal at every (local) temperature.
 
@@ -388,13 +404,16 @@ class PTSampler:
                 temp_keys, tidx * t_local, t_local
             )
 
-        def per_temp(key_t, coords_t, ll_t, lpr_t, beta_t, carries_t, idx):
+        def per_temp(
+            key_t, coords_t, ll_t, lpr_t, blobs_t, beta_t, carries_t, idx
+        ):
             model = self._tempered_model(beta_t)
             lp_t = jnp.where(
                 lpr_t > -jnp.inf, beta_t * ll_t + lpr_t, -jnp.inf
             )
             st = State(
-                coords=coords_t, log_prob=lp_t, blobs=(ll_t, lpr_t)
+                coords=coords_t, log_prob=lp_t,
+                blobs=(ll_t, lpr_t, blobs_t),
             )
 
             if n_moves == 1 or move_index is not None:
@@ -435,8 +454,10 @@ class PTSampler:
                     [make_branch(i) for i in range(n_moves)],
                     (key_t, st, carries_t),
                 )
-            new_ll, new_lpr = new_st.blobs
-            return new_st.coords, new_ll, new_lpr, acc, carries_t
+            new_ll, new_lpr, new_blobs = new_st.blobs
+            return (
+                new_st.coords, new_ll, new_lpr, new_blobs, acc, carries_t
+            )
 
         if n_moves > 1:
             idx = jax.random.choice(
@@ -446,14 +467,18 @@ class PTSampler:
             idx = jnp.zeros((), dtype=jnp.int32)
         idxs = jnp.broadcast_to(idx, (t_local,))
         return jax.vmap(per_temp)(
-            temp_keys, coords, log_like, log_prior, betas, carries, idxs
+            temp_keys, coords, log_like, log_prior, blobs, betas, carries,
+            idxs,
         )
 
-    def _swap_step(self, key, coords, log_like, log_prior, betas, parity):
-        """Even/odd adjacent-rung exchange; returns swapped arrays + stats.
+    def _swap_step(self, key, data, betas, parity):
+        """Even/odd adjacent-rung exchange; returns swapped data + stats.
 
-        For pair (i, i+1): accept with log-prob
-        ``(beta_i - beta_{i+1}) * (logL_{i+1} - logL_i)``.
+        ``data`` is the walker-state pytree ``(coords, log_like,
+        log_prior, blobs)`` (blobs may be None) — every leaf has leading
+        ``(T, nw)`` axes and exchanges as one unit, so accepted swaps
+        carry the walkers' blobs with them.  For pair (i, i+1): accept
+        with log-prob ``(beta_i - beta_{i+1}) * (logL_{i+1} - logL_i)``.
         """
         if self._axis_name is not None:
             # Under walker sharding each shard holds different walkers, so
@@ -463,11 +488,12 @@ class PTSampler:
             key = jax.random.fold_in(
                 key, jax.lax.axis_index(self._axis_name)
             )
+        log_like = data[1]
         T = self.ntemps
         pair_lo = np.arange(parity, T - 1, 2)
         if len(pair_lo) == 0:
-            zeros = jnp.zeros((0, coords.shape[1]), dtype=bool)
-            return coords, log_like, log_prior, zeros, pair_lo
+            zeros = jnp.zeros((0, log_like.shape[1]), dtype=bool)
+            return data, zeros, pair_lo
         lo = jnp.asarray(pair_lo)
         hi = lo + 1
         dbeta = betas[lo] - betas[hi]  # (P,)
@@ -482,9 +508,9 @@ class PTSampler:
             new_hi = jnp.where(m, a_lo, a_hi)
             return arr.at[lo].set(new_lo).at[hi].set(new_hi)
 
-        return exch(coords), exch(log_like), exch(log_prior), acc, pair_lo
+        return jax.tree_util.tree_map(exch, data), acc, pair_lo
 
-    def _swap_step_sharded(self, key, coords, ll, lpr, betas, parity):
+    def _swap_step_sharded(self, key, data, betas, parity):
         """Adjacent-rung exchange with the temperature axis sharded.
 
         Shard-internal pairs swap locally; the pair straddling each shard
@@ -498,8 +524,9 @@ class PTSampler:
         """
         taxis = self._temp_axis
         waxis = self._axis_name
+        ll = data[1]
         T = self.ntemps
-        t_loc = coords.shape[0]
+        t_loc = ll.shape[0]
         S = T // t_loc
         tidx = jax.lax.axis_index(taxis)
         if waxis is not None:
@@ -527,19 +554,24 @@ class PTSampler:
                 new_hi = jnp.where(m, arr[lo], arr[hi])
                 return arr.at[lo].set(new_lo).at[hi].set(new_hi)
 
-            coords, ll, lpr = exch(coords), exch(ll), exch(lpr)
+            data = jax.tree_util.tree_map(exch, data)
+            ll = data[1]
             counts = counts.at[lo].add(acc.astype(jnp.int32))
 
         if S > 1 and parity == (t_loc - 1) % 2:
             perm_from_right = [(i, (i - 1) % S) for i in range(S)]
             perm_from_left = [(i, (i + 1) % S) for i in range(S)]
+            # Exchange whole rung rows (incl. blob leaves) with the
+            # neighbor shards over ICI.
             nb_first = jax.tree_util.tree_map(
-                lambda x: jax.lax.ppermute(x, taxis, perm_from_right),
-                (coords[0], ll[0], lpr[0]),
+                lambda x: jax.lax.ppermute(x[0], taxis, perm_from_right),
+                data,
             )
             nb_last = jax.tree_util.tree_map(
-                lambda x: jax.lax.ppermute(x, taxis, perm_from_left),
-                (coords[t_loc - 1], ll[t_loc - 1], lpr[t_loc - 1]),
+                lambda x: jax.lax.ppermute(
+                    x[t_loc - 1], taxis, perm_from_left
+                ),
+                data,
             )
             # Right boundary (pair id = tidx): my last rung <-> their first.
             g_last = tidx * t_loc + t_loc - 1
@@ -559,29 +591,59 @@ class PTSampler:
                 dtype=ll.dtype,
             )
             acc_l = (
-                jnp.log(u_l) < dbeta_l * (ll[0] - nb_last[1])
+                jnp.log(u_l) < dbeta_l * (data[1][0] - nb_last[1])
             ) & (tidx > 0)
 
-            coords = coords.at[t_loc - 1].set(
-                jnp.where(acc_r[:, None], nb_first[0], coords[t_loc - 1])
+            def boundary_update(arr, nb_f, nb_l):
+                m_r = acc_r.reshape(acc_r.shape + (1,) * (arr.ndim - 2))
+                m_l = acc_l.reshape(acc_l.shape + (1,) * (arr.ndim - 2))
+                arr = arr.at[t_loc - 1].set(
+                    jnp.where(m_r, nb_f, arr[t_loc - 1])
+                )
+                return arr.at[0].set(jnp.where(m_l, nb_l, arr[0]))
+
+            data = jax.tree_util.tree_map(
+                boundary_update, data, nb_first, nb_last
             )
-            ll = ll.at[t_loc - 1].set(
-                jnp.where(acc_r, nb_first[1], ll[t_loc - 1])
-            )
-            lpr = lpr.at[t_loc - 1].set(
-                jnp.where(acc_r, nb_first[2], lpr[t_loc - 1])
-            )
-            coords = coords.at[0].set(
-                jnp.where(acc_l[:, None], nb_last[0], coords[0])
-            )
-            ll = ll.at[0].set(jnp.where(acc_l, nb_last[1], ll[0]))
-            lpr = lpr.at[0].set(jnp.where(acc_l, nb_last[2], lpr[0]))
             counts = counts.at[t_loc - 1].add(acc_r.astype(jnp.int32))
 
-        return coords, ll, lpr, counts
+        return data, counts
 
-    def _build_chunk(self, nkeep, thin_by, store, tune=False):
-        cache_key = (nkeep, thin_by, store, tune)
+    def _cast_io(self, x):
+        """Cast a stored float array to ``io_dtype`` (traced)."""
+        if (
+            self._io_dtype is None
+            or not jnp.issubdtype(x.dtype, jnp.floating)
+        ):
+            return x
+        return x.astype(self._io_dtype)
+
+    def _grow_blobs_template(self, blobs):
+        """Host-side shape/dtype template for ``backend.grow`` (numpy
+        empties; no eager device work — see EnsembleSampler)."""
+        if blobs is None:
+            return None
+
+        def t(leaf):
+            dt = leaf.dtype
+            if self._io_dtype is not None and jnp.issubdtype(
+                dt, jnp.floating
+            ):
+                dt = self._io_dtype
+            return np.empty(leaf.shape, dtype=dt)
+
+        return jax.tree_util.tree_map(t, blobs)
+
+    def _blob_partition_tree(self, blobs_struct, spec):
+        if blobs_struct is None:
+            return None
+        return jax.tree_util.tree_map(
+            lambda _: spec, blobs_struct.example
+        )
+
+    def _build_chunk(self, nkeep, thin_by, store, tune=False,
+                     blobs_struct=None):
+        cache_key = (nkeep, thin_by, store, tune, blobs_struct)
         fn = self._run_cache.get(cache_key)
         if fn is not None:
             return fn
@@ -604,20 +666,22 @@ class PTSampler:
                     )
                 else:
                     betas_local = betas
-                coords, ll, lpr, acc, carries = self._move_step(
+                coords, ll, lpr, blobs, acc, carries = self._move_step(
                     k_move,
                     state.coords,
                     state.log_like,
                     state.log_prior,
+                    state.blobs,
                     betas_local,
                     carries,
                     tune=tune,
                     move_index=move_index,
                 )
+                data = (coords, ll, lpr, blobs)
                 parity = step_i % 2
 
                 def do_swap(args):
-                    coords, ll, lpr, swap_acc_tot = args
+                    data, swap_acc_tot = args
 
                     # Alternate even/odd pairings by step parity; both
                     # parities compiled, selected by lax.cond.
@@ -625,34 +689,36 @@ class PTSampler:
                         def branch(_):
                             if self._temp_axis is not None:
                                 return self._swap_step_sharded(
-                                    k_swap, coords, ll, lpr, betas, par
+                                    k_swap, data, betas, par
                                 )
-                            c, l, p, a, lo = self._swap_step(
-                                k_swap, coords, ll, lpr, betas, par
+                            d, a, lo = self._swap_step(
+                                k_swap, data, betas, par
                             )
-                            return c, l, p, self._scatter_swap_counts(a, par)
+                            return d, self._scatter_swap_counts(a, par)
 
                         return branch
 
-                    c, l, p, counts = jax.lax.cond(
+                    d, counts = jax.lax.cond(
                         parity == 0, swap_with(0), swap_with(1), None
                     )
-                    return c, l, p, swap_acc_tot + counts
+                    return d, swap_acc_tot + counts
 
                 if swap_every > 0:
                     do = (step_i % swap_every) == (swap_every - 1)
-                    coords, ll, lpr, swap_acc_tot = jax.lax.cond(
+                    data, swap_acc_tot = jax.lax.cond(
                         do,
                         do_swap,
                         lambda args: args,
-                        (coords, ll, lpr, swap_acc_tot),
+                        (data, swap_acc_tot),
                     )
+                coords, ll, lpr, blobs = data
 
                 state = PTState(
                     coords=coords,
                     log_like=ll,
                     log_prior=lpr,
                     random_state=key,
+                    blobs=blobs,
                 )
                 return (state, carries, swap_acc_tot, betas), acc
 
@@ -675,6 +741,9 @@ class PTSampler:
                         coords_out,
                         state.log_like,
                         state.log_prior,
+                        jax.tree_util.tree_map(
+                            self._cast_io, state.blobs
+                        ),
                         accs[-1],
                     )
                 else:
@@ -751,6 +820,7 @@ class PTSampler:
                 log_like=P(tx, ax),
                 log_prior=P(tx, ax),
                 random_state=P(),
+                blobs=self._blob_partition_tree(blobs_struct, P(tx, ax)),
             )
             carries_spec = jax.tree_util.tree_map(
                 lambda _: P(tx), self._init_carries()
@@ -761,6 +831,9 @@ class PTSampler:
                     P(None, tx, ax, None),
                     P(None, tx, ax),
                     P(None, tx, ax),
+                    self._blob_partition_tree(
+                        blobs_struct, P(None, tx, ax)
+                    ),
                     P(None, tx, ax),
                 )
             else:
@@ -820,6 +893,7 @@ class PTSampler:
                 ),
                 log_like=None,
                 log_prior=None,
+                blobs=None,
             )
         if not skip_check:
             for t in range(self.ntemps):
@@ -831,25 +905,52 @@ class PTSampler:
         if state.random_state is None:
             self._key, sub = jax.random.split(self._key)
             state = state._replace(random_state=sub)
-        if state.log_like is None:
+        need_eval = state.log_like is None
+        if not need_eval and state.blobs is None:
+            # The model may produce blobs the resumed state lacks (e.g.
+            # a backend that does not store them): recompute so the blob
+            # structure is present from step one — a missing old-blob
+            # tree would let rejected walkers adopt rejected proposals'
+            # blobs in the accept select.
+            _, bs = jax.eval_shape(
+                self._log_like, state.coords.reshape(-1, self.ndim)
+            )
+            need_eval = bs is not None
+        if need_eval:
             flat = state.coords.reshape(-1, self.ndim)
-            ll, _ = jax.jit(self._log_like)(flat)
+            ll, ublobs = jax.jit(self._log_like)(flat)
             lpr, _ = jax.jit(self._log_prior)(flat)
             ll = ll.reshape(self.ntemps, self.nwalkers)
             lpr = lpr.reshape(self.ntemps, self.nwalkers)
+            if ublobs is not None:
+                ublobs = jax.tree_util.tree_map(
+                    lambda b: b.reshape(
+                        (self.ntemps, self.nwalkers) + b.shape[1:]
+                    ),
+                    ublobs,
+                )
             if np.any(np.isnan(np.asarray(ll))) or np.any(
                 np.isnan(np.asarray(lpr))
             ):
                 raise ValueError("The initial log-likelihood was NaN")
-            state = state._replace(log_like=ll, log_prior=lpr)
+            state = state._replace(
+                log_like=ll, log_prior=lpr, blobs=ublobs
+            )
         if self.mesh is not None:
             ax = self.walker_axis
             tx = self._temp_axis
+            blob_sh = None
+            if state.blobs is not None:
+                blob_sh = jax.tree_util.tree_map(
+                    lambda _: NamedSharding(self.mesh, P(tx, ax)),
+                    state.blobs,
+                )
             sh = PTState(
                 coords=NamedSharding(self.mesh, P(tx, ax, None)),
                 log_like=NamedSharding(self.mesh, P(tx, ax)),
                 log_prior=NamedSharding(self.mesh, P(tx, ax)),
                 random_state=NamedSharding(self.mesh, P()),
+                blobs=blob_sh,
             )
             from .multihost import tree_put
 
@@ -949,12 +1050,14 @@ class PTSampler:
         )
 
     def _drive(self, initial_state, sizes, thin_by, store, tune,
-               skip_check, pbar=None):
+               skip_check, pbar=None, pregrow=None):
         """Advance the chain chunk by chunk (the shared engine of
         :meth:`run_mcmc` and :meth:`sample`).
 
         Yields the post-chunk :class:`PTState` after each chunk's data
-        and resume anchors have committed; callers pre-grow the backend.
+        and resume anchors have committed.  ``pregrow`` pre-sizes the
+        backend once (with the blob template) so per-chunk saves never
+        reallocate the chain.
         """
         thin_by = int(thin_by)
         if initial_state is None:
@@ -964,6 +1067,11 @@ class PTSampler:
                 )
             initial_state = self._previous_state
         state = self._prepare_state(initial_state, skip_check)
+        blobs_struct = blobs_struct_of(state.blobs)
+        if store and pregrow is not None:
+            self.backend.grow(
+                pregrow, self._grow_blobs_template(state.blobs)
+            )
         # Move carries (tuned scales, sequential counters) persist across
         # calls like EnsembleSampler's; reset() keeps them (reference
         # move-object semantics).
@@ -996,7 +1104,9 @@ class PTSampler:
         kept_done = 0
         try:
             for n in sizes:
-                run = self._build_chunk(int(n), thin_by, store, tune)
+                run = self._build_chunk(
+                    int(n), thin_by, store, tune, blobs_struct
+                )
                 state, carries, swap_acc, outs = run(
                     state,
                     carries,
@@ -1004,6 +1114,17 @@ class PTSampler:
                     betas_dev,
                     jnp.asarray(kept0 + kept_done, dtype=jnp.int32),
                 )
+                if store and not getattr(
+                    self.backend, "wants_device_arrays", False
+                ) and not os.environ.get("EMCEE_TPU_SYNC_FETCH"):
+                    # Start the device->host DMA now (overlaps the host
+                    # bookkeeping below; see EnsembleSampler.run_mcmc).
+                    jax.tree_util.tree_map(
+                        lambda a: a.copy_to_host_async()
+                        if hasattr(a, "copy_to_host_async")
+                        else None,
+                        outs,
+                    )
                 proposed_cum += self._count_proposed_delta(
                     step0 + proposals_done,
                     step0 + proposals_done + n * thin_by,
@@ -1039,7 +1160,7 @@ class PTSampler:
                 ):
                     # PTDeviceBackend: the chain block stays in HBM; only
                     # the tiny (T, nw) swap counters cross to the host.
-                    coords, ll, lpr, accs = outs
+                    coords, ll, lpr, blobs, accs = outs
                     swap_acc_host = jax.device_get(swap_acc)
                 else:
                     fetched = self._fetch_global((outs, swap_acc))
@@ -1050,7 +1171,7 @@ class PTSampler:
                             pbar.update(n * thin_by)
                         yield state
                         continue
-                    (coords, ll, lpr, accs), swap_acc_host = fetched
+                    (coords, ll, lpr, blobs, accs), swap_acc_host = fetched
                 swaps_delta = np.asarray(swap_acc_host).sum(axis=1)[
                     : max(self.ntemps - 1, 1)
                 ]
@@ -1078,6 +1199,7 @@ class PTSampler:
                         self._base_swaps_proposed + proposed_cum,
                         state.random_state,
                         self.betas if new_betas is None else new_betas,
+                        blobs=blobs,
                     )
                     self._commit_anchors(carries, state, new_betas)
                 if pbar is not None:
@@ -1111,10 +1233,6 @@ class PTSampler:
         """Run ``nsteps`` kept steps; returns the final :class:`PTState`."""
         nsteps = int(nsteps)
         thin_by = int(thin_by)
-        if store:
-            # Pre-size the chain store once: per-chunk growth would
-            # reallocate-and-copy the whole prefix every chunk.
-            self.backend.grow(nsteps)
         sizes = chunk_schedule(
             nsteps,
             self._max_chunk(thin_by),
@@ -1126,7 +1244,7 @@ class PTSampler:
         ) as pbar:
             for state in self._drive(
                 initial_state, sizes, thin_by, store, tune,
-                skip_initial_state_check, pbar,
+                skip_initial_state_check, pbar, pregrow=nsteps,
             ):
                 pass
         if state is None:  # nsteps == 0
@@ -1163,8 +1281,6 @@ class PTSampler:
             raise ValueError(
                 "'store' must be False when 'iterations' is None"
             )
-        if store:
-            self.backend.grow(iterations)
         if iterations is None:
             import itertools
 
@@ -1178,7 +1294,7 @@ class PTSampler:
         ) as pbar:
             yield from self._drive(
                 initial_state, sizes, thin_by, store, tune,
-                skip_initial_state_check, pbar,
+                skip_initial_state_check, pbar, pregrow=iterations,
             )
 
     # ------------------------------------------------------------------
@@ -1201,6 +1317,13 @@ class PTSampler:
 
     def get_log_prior(self, discard=0, thin=1):
         return self.backend.get_log_prior(discard=discard, thin=thin)
+
+    def get_blobs(self, discard=0, thin=1, temp=None):
+        """Stored user blobs (pytree of ``(it, T, nw, ...)`` leaves, or
+        one rung's with ``temp``); None when the model returns none."""
+        return self.backend.get_blobs(
+            discard=discard, thin=thin, temp=temp
+        )
 
     def get_last_sample(self):
         return self.backend.get_last_sample()

@@ -55,24 +55,7 @@ from .state import State, as_state, walkers_independent
 __all__ = ["EnsembleSampler"]
 
 
-class _BlobStruct:
-    """Hashable token describing a blob pytree (for the jit cache) that also
-    carries an example tree for building PartitionSpec trees."""
-
-    def __init__(self, treedef, shapes, example):
-        self.treedef = treedef
-        self.shapes = shapes
-        self.example = example
-
-    def __hash__(self):
-        return hash((self.treedef, self.shapes))
-
-    def __eq__(self, other):
-        return (
-            isinstance(other, _BlobStruct)
-            and self.treedef == other.treedef
-            and self.shapes == other.shapes
-        )
+from .driver import BlobStruct as _BlobStruct  # shared with PTSampler
 
 
 class EnsembleSampler:

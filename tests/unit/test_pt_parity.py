@@ -39,9 +39,9 @@ class CountingPTBackend(PTBackend):
         super().__init__()
         self.grow_allocations = 0
 
-    def grow(self, ngrow):
+    def grow(self, ngrow, blobs=None):
         before = self.chain
-        super().grow(ngrow)
+        super().grow(ngrow, blobs)
         if self.chain is not before:
             self.grow_allocations += 1
 
@@ -210,3 +210,89 @@ def test_pt_pickle_roundtrip_resumes():
     assert clone.pool is None
     clone.run_mcmc(None, 3)
     assert clone.backend.iteration == 8
+
+
+# -- blobs on the tempered path ------------------------------------------
+
+
+def log_like_blobs(x):
+    ll = -0.5 * jnp.sum(x**2)
+    return ll, 2.0 * ll, x  # scalar + vector blob
+
+
+def test_pt_blobs_memory_backend():
+    """Blobs ride the tempered chain: stored per rung, swapped with
+    their walkers, and consistent with the chain row by row."""
+    pt = PTSampler(3, 16, 2, log_like_blobs, log_prior, seed=0)
+    pt.run_mcmc(init_coords(3, 16, 2), 30)
+    ll = np.asarray(pt.get_log_like())
+    scalar, vec = pt.get_blobs()
+    chain = np.asarray(pt.get_chain())
+    assert np.asarray(scalar).shape == (30, 3, 16)
+    assert np.asarray(vec).shape == (30, 3, 16, 2)
+    # blob_1 == 2 * log_like and blob_2 == coords for EVERY rung and
+    # step — any swap that moved a walker without its blobs would break
+    # this identity.
+    np.testing.assert_allclose(np.asarray(scalar), 2.0 * ll, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(vec), chain, rtol=1e-5)
+    # temp selection
+    s0 = pt.get_blobs(temp=0)
+    np.testing.assert_allclose(np.asarray(s0[0]), scalar[:, 0])
+    # resume keeps the blob stream consistent
+    pt.run_mcmc(None, 10)
+    scalar2, _ = pt.get_blobs()
+    np.testing.assert_allclose(
+        np.asarray(scalar2), 2.0 * np.asarray(pt.get_log_like()),
+        rtol=1e-5,
+    )
+
+
+def test_pt_blobs_device_backend():
+    from emcee_tpu.backends.pt import PTDeviceBackend
+
+    backend = PTDeviceBackend()
+    pt = PTSampler(
+        3, 16, 2, log_like_blobs, log_prior, backend=backend, seed=0
+    )
+    pt.run_mcmc(init_coords(3, 16, 2), 20)
+    scalar, vec = pt.get_blobs()
+    np.testing.assert_allclose(
+        np.asarray(scalar), 2.0 * np.asarray(pt.get_log_like()),
+        rtol=1e-5,
+    )
+    # drains into a host backend with blobs intact
+    host = backend.to_host()
+    h_scalar, h_vec = host.get_blobs()
+    np.testing.assert_allclose(h_scalar, np.asarray(scalar), rtol=1e-6)
+    last = backend.get_last_sample()
+    assert last.blobs is not None
+
+
+def test_pt_blobs_hdf_backend(tmp_path):
+    backend = PTHDFBackend(str(tmp_path / "ptb.h5"))
+    pt = PTSampler(
+        3, 16, 2, log_like_blobs, log_prior, backend=backend, seed=0
+    )
+    pt.run_mcmc(init_coords(3, 16, 2), 15)
+    rec = pt.get_blobs()
+    assert rec.shape == (15, 3, 16)
+    assert set(rec.dtype.names) == {"blob0", "blob1"}
+    np.testing.assert_allclose(
+        rec["blob0"], 2.0 * np.asarray(pt.get_log_like()), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        rec["blob1"], np.asarray(pt.get_chain()), rtol=1e-5
+    )
+    # fresh sampler resumes from the file, recomputing blob structure
+    pt2 = PTSampler(
+        3, 16, 2, log_like_blobs, log_prior,
+        backend=PTHDFBackend(str(tmp_path / "ptb.h5")), seed=0,
+    )
+    pt2.run_mcmc(None, 5)
+    assert pt2.get_blobs().shape == (20, 3, 16)
+
+
+def test_pt_no_blobs_unchanged():
+    pt = PTSampler(3, 8, 2, log_like, log_prior, seed=0)
+    pt.run_mcmc(init_coords(3, 8, 2), 5)
+    assert pt.get_blobs() is None

@@ -148,3 +148,28 @@ def test_temp_sharded_device_backend_matches_host():
         pt.run_mcmc(coords, 15, skip_initial_state_check=True)
         chains.append(np.asarray(pt.get_chain(), dtype=np.float64))
     np.testing.assert_array_equal(chains[0], chains[1])
+
+
+def test_temp_sharded_blobs_swap_with_walkers():
+    """Blobs under 2-D temp x walker sharding: the boundary-pair
+    ppermute must carry blob leaves with the rung rows, so the
+    blob == f(chain) identity holds at every rung and step."""
+
+    def log_like_b(x):
+        ll = -0.5 * jnp.sum(x**2)
+        return ll, 2.0 * ll, x
+
+    T, nw, nd = 4, 16, 2
+    pt = PTSampler(
+        T, nw, nd, log_like_b, log_prior,
+        mesh=make_mesh(2, 4), temp_axis="temp", seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(T, nw, nd))
+    pt.run_mcmc(coords, 25)
+    scalar, vec = pt.get_blobs()
+    ll = np.asarray(pt.get_log_like())
+    chain = np.asarray(pt.get_chain())
+    np.testing.assert_allclose(np.asarray(scalar), 2.0 * ll, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(vec), chain, rtol=1e-5)
+    # Swaps must actually be happening for this to test anything.
+    assert np.asarray(pt.swaps_accepted).sum() > 0
