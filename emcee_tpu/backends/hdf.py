@@ -101,6 +101,26 @@ def _unpack_records(row, kind, names):
     return tuple(np.asarray(row[n]) for n in names)
 
 
+def _check_blob_fields(stored_names, stored_kind, leaves, kind, names):
+    """Reject a blob pytree that no longer matches the file's layout.
+
+    Count alone is not enough: dict blobs with different keys would be
+    silently written into the wrong fields (sorted-name order), so key
+    sets must match exactly when both sides are dicts."""
+    if len(stored_names) != len(leaves):
+        raise ValueError(
+            "blob structure changed: file stores "
+            f"{len(stored_names)} fields, got {len(leaves)} leaves"
+        )
+    if kind == "dict" and stored_kind == "dict" and list(names) != list(
+        stored_names
+    ):
+        raise ValueError(
+            "blob field names changed: file stores "
+            f"{list(stored_names)}, got {list(names)}"
+        )
+
+
 class HDFBackend(Backend):
     """A backend that stores the chain in an HDF5 file.
 
@@ -287,16 +307,12 @@ class HDFBackend(Backend):
 
     def _blobs_to_rows(self, g, blobs, k):
         """Chunk blob pytree -> (k, nwalkers) array matching the dataset."""
-        leaves, kind, _ = _flatten_blobs(blobs)
+        leaves, kind, new_names = _flatten_blobs(blobs)
         stored_kind = g.attrs.get("blobs_kind", "leaf")
         if stored_kind == "leaf":
             return np.asarray(leaves[0])
         names = list(g.attrs["blobs_fields"])
-        if len(names) != len(leaves):
-            raise ValueError(
-                f"blob structure changed: file stores {len(names)} fields, "
-                f"got {len(leaves)} leaves"
-            )
+        _check_blob_fields(names, stored_kind, leaves, kind, new_names)
         return _pack_records(leaves, names, lead_ndim=2)
 
     def save_chunk(self, coords, log_prob, blobs, accepted, random_state):

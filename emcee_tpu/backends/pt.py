@@ -18,7 +18,12 @@ import numpy as np
 from ..state import State  # noqa: F401  (re-export convenience)
 from .backend import _key_data, _wrap_key
 from .device import _DeviceChunkStore
-from .hdf import _flatten_blobs, _pack_records, _unpack_records
+from .hdf import (
+    _check_blob_fields,
+    _flatten_blobs,
+    _pack_records,
+    _unpack_records,
+)
 
 try:
     import h5py
@@ -63,7 +68,18 @@ class PTBackend:
     def grow(self, ngrow, blobs=None):
         new_size = self.iteration + int(ngrow)
         if self.chain is not None and new_size <= self._size:
-            return  # already pre-sized (run_mcmc pre-grows by nsteps)
+            # Already pre-sized (run_mcmc pre-grows by nsteps) — but a
+            # first-time blob template must still allocate, or the next
+            # save_chunk tree_maps over blobs=None and crashes.
+            if blobs is not None and self.blobs is None:
+                example = jax.tree_util.tree_map(np.asarray, blobs)
+                self.blobs = jax.tree_util.tree_map(
+                    lambda b: np.empty(
+                        (self._size,) + b.shape, dtype=b.dtype
+                    ),
+                    example,
+                )
+            return
         self._size = new_size
 
         def grown(arr, shape, dt):
@@ -542,13 +558,15 @@ class PTHDFBackend(PTBackend):
                             lambda b: np.asarray(b)[0], blobs
                         ),
                     )
-                leaves, _, _ = _flatten_blobs(blobs)
+                leaves, kind, new_names = _flatten_blobs(blobs)
                 names = list(g.attrs["blobs_fields"])
-                if len(names) != len(leaves):
-                    raise ValueError(
-                        "blob structure changed: file stores "
-                        f"{len(names)} fields, got {len(leaves)} leaves"
-                    )
+                _check_blob_fields(
+                    names,
+                    g.attrs.get("blobs_kind", "leaf"),
+                    leaves,
+                    kind,
+                    new_names,
+                )
                 writes.append(
                     ("blobs", _pack_records(leaves, names, lead_ndim=3))
                 )

@@ -11,6 +11,8 @@ drift.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,7 +22,58 @@ __all__ = [
     "chunk_schedule",
     "BlobStruct",
     "blobs_struct_of",
+    "cast_io",
+    "grow_blobs_template",
+    "kick_async_fetch",
 ]
+
+
+def cast_io(x, io_dtype):
+    """Cast a stored float array to the reduced ``io_dtype`` (traced;
+    non-float leaves and ``io_dtype=None`` pass through)."""
+    if io_dtype is None or not jnp.issubdtype(x.dtype, jnp.floating):
+        return x
+    return x.astype(io_dtype)
+
+
+def grow_blobs_template(blobs, io_dtype):
+    """Host-side shape/dtype template for ``backend.grow``.
+
+    ``grow`` only reads ``.shape``/``.dtype`` of the example leaves;
+    building numpy empties (with the ``io_dtype`` cast applied to float
+    leaves) avoids issuing eager device casts/transfers at run start —
+    each eager op is a full remote compile on the tunneled TPU runtime.
+    """
+    import jax
+
+    if blobs is None:
+        return None
+
+    def t(leaf):
+        dt = leaf.dtype
+        if io_dtype is not None and jnp.issubdtype(dt, jnp.floating):
+            dt = io_dtype
+        return np.empty(leaf.shape, dtype=dt)
+
+    return jax.tree_util.tree_map(t, blobs)
+
+
+def kick_async_fetch(outs):
+    """Start the device->host DMA for a chunk's stored outputs now, so
+    the transfer overlaps host bookkeeping / the next chunk's compute
+    instead of starting only when ``device_get`` blocks on it.  The
+    ``EMCEE_TPU_SYNC_FETCH`` env toggle exists for A/B measurement only.
+    """
+    import jax
+
+    if os.environ.get("EMCEE_TPU_SYNC_FETCH"):
+        return
+    jax.tree_util.tree_map(
+        lambda a: a.copy_to_host_async()
+        if hasattr(a, "copy_to_host_async")
+        else None,
+        outs,
+    )
 
 
 class BlobStruct:

@@ -251,6 +251,7 @@ def wrap_log_prob_fn(
 
         blob_leaves = _normalize_blob_spec(callback_blobs)
         call = _FunctionWrapper(fn, args, kwargs)
+        owned_executor = None
         if pool is None or vectorize:
             # vectorize=True means the user already batches internally;
             # there is nothing per-walker to fan out.
@@ -261,9 +262,23 @@ def wrap_log_prob_fn(
             # Threads beat processes whenever the likelihood releases
             # the GIL (numpy, scipy, ctypes, IO); for pure-Python
             # compute pass a multiprocessing.Pool instead.
-            map_fn = ThreadPoolExecutor(int(pool)).map
+            owned_executor = ThreadPoolExecutor(int(pool))
+            map_fn = owned_executor.map
         else:
             map_fn = pool.map
+
+        def check_arity(res):
+            # zip() over pre-allocated buffers would silently truncate:
+            # a function returning fewer blobs than declared must error,
+            # not store uninitialized memory.
+            if not isinstance(res, (tuple, list)) or len(res) != 1 + len(
+                blob_leaves
+            ):
+                got = len(res) - 1 if isinstance(res, (tuple, list)) else 0
+                raise ValueError(
+                    f"log-prob function returned {got} blob value(s) but "
+                    f"host_callback_blobs declares {len(blob_leaves)}"
+                )
 
         def host_fn(c):
             c = np.asarray(c)
@@ -273,6 +288,7 @@ def wrap_log_prob_fn(
                 if blob_leaves is None:
                     lp = res[0] if isinstance(res, (tuple, list)) else res
                     return np.asarray(lp, dtype=c.dtype).reshape(nw)
+                check_arity(res)
                 lp = np.asarray(res[0], dtype=c.dtype).reshape(nw)
                 leaves = tuple(
                     np.asarray(v, dtype=dt).reshape((nw,) + shape)
@@ -298,6 +314,7 @@ def wrap_log_prob_fn(
                 for shape, dt in blob_leaves
             )
             for i, r in enumerate(results):
+                check_arity(r)
                 lp[i] = r[0]
                 for leaf, val in zip(leaves, r[1:]):
                     leaf[i] = val
@@ -325,6 +342,13 @@ def wrap_log_prob_fn(
         # every Model builder (sampler, kernels, tempering) inherits the
         # clear error without re-plumbing a flag.
         batched._no_grad = True
+        if owned_executor is not None:
+            import weakref
+
+            # Tie the internally-owned executor's lifetime to the wrapper:
+            # the handle is otherwise unreachable, and its idle worker
+            # threads would accumulate across sampler constructions.
+            weakref.finalize(batched, owned_executor.shutdown, wait=False)
         return batched
 
     if vectorize:

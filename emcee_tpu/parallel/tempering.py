@@ -22,7 +22,6 @@ spacing ``ratio = 1 + sqrt(2/ndim)`` appropriate for Gaussian-like targets.
 
 from __future__ import annotations
 
-import os
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -39,7 +38,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import moves as _moves_mod
 from ..driver import (
     blobs_struct_of,
+    cast_io,
     chunk_schedule,
+    grow_blobs_template,
+    kick_async_fetch,
     parse_io_dtype,
     parse_moves,
 )
@@ -285,11 +287,21 @@ class PTSampler:
         self._run_cache = {}
 
     def _wrap_fns(self):
+        pool = self.pool
+        if isinstance(pool, (int, np.integer)):
+            import weakref
+            from concurrent.futures import ThreadPoolExecutor
+
+            # One shared executor for both wrapped fns (an int pool would
+            # otherwise spin up two thread pools), released when this
+            # sampler is garbage-collected.
+            pool = ThreadPoolExecutor(int(self.pool))
+            weakref.finalize(self, pool.shutdown, wait=False)
         self._log_like = wrap_log_prob_fn(
-            self._log_like_fn, pool=self.pool, **self._like_settings
+            self._log_like_fn, pool=pool, **self._like_settings
         )
         self._log_prior = wrap_log_prob_fn(
-            self._log_prior_fn, pool=self.pool, **self._lp_settings
+            self._log_prior_fn, pool=pool, **self._lp_settings
         )
 
     def __getstate__(self):
@@ -610,29 +622,10 @@ class PTSampler:
         return data, counts
 
     def _cast_io(self, x):
-        """Cast a stored float array to ``io_dtype`` (traced)."""
-        if (
-            self._io_dtype is None
-            or not jnp.issubdtype(x.dtype, jnp.floating)
-        ):
-            return x
-        return x.astype(self._io_dtype)
+        return cast_io(x, self._io_dtype)
 
     def _grow_blobs_template(self, blobs):
-        """Host-side shape/dtype template for ``backend.grow`` (numpy
-        empties; no eager device work — see EnsembleSampler)."""
-        if blobs is None:
-            return None
-
-        def t(leaf):
-            dt = leaf.dtype
-            if self._io_dtype is not None and jnp.issubdtype(
-                dt, jnp.floating
-            ):
-                dt = self._io_dtype
-            return np.empty(leaf.shape, dtype=dt)
-
-        return jax.tree_util.tree_map(t, blobs)
+        return grow_blobs_template(blobs, self._io_dtype)
 
     def _blob_partition_tree(self, blobs_struct, spec):
         if blobs_struct is None:
@@ -1030,7 +1023,7 @@ class PTSampler:
                 out[parity : self.ntemps - 1 : 2] += cnt * self.nwalkers
         return out
 
-    def _max_chunk(self, thin_by):
+    def _max_chunk(self, thin_by, blobs=None):
         """Kept steps per device dispatch, bounded by ``io_chunk_bytes``
         (4096-step cap: dispatch overhead keeps paying off up to ~4k
         steps/chunk on this runtime — chunk-length sweep,
@@ -1045,6 +1038,17 @@ class PTSampler:
         bytes_per_step = (
             n_tw * self.ndim * coords_itemsize + 3 * n_tw * full
         )
+        if blobs is not None:
+            # Blob leaves ride the same scan output buffer; a data-sized
+            # blob must shrink the chunk or the buffer bound is fiction.
+            for leaf in jax.tree_util.tree_leaves(blobs):
+                itemsize = (
+                    self._io_dtype.itemsize
+                    if self._io_dtype is not None
+                    and jnp.issubdtype(leaf.dtype, jnp.floating)
+                    else leaf.dtype.itemsize
+                )
+                bytes_per_step += leaf.size * itemsize
         return max(
             1, min(4096, self._io_chunk_bytes // max(1, bytes_per_step))
         )
@@ -1067,6 +1071,8 @@ class PTSampler:
                 )
             initial_state = self._previous_state
         state = self._prepare_state(initial_state, skip_check)
+        if callable(sizes):  # deferred schedule (needs the blob shapes)
+            sizes = sizes(state)
         blobs_struct = blobs_struct_of(state.blobs)
         if store and pregrow is not None:
             self.backend.grow(
@@ -1116,15 +1122,10 @@ class PTSampler:
                 )
                 if store and not getattr(
                     self.backend, "wants_device_arrays", False
-                ) and not os.environ.get("EMCEE_TPU_SYNC_FETCH"):
+                ):
                     # Start the device->host DMA now (overlaps the host
                     # bookkeeping below; see EnsembleSampler.run_mcmc).
-                    jax.tree_util.tree_map(
-                        lambda a: a.copy_to_host_async()
-                        if hasattr(a, "copy_to_host_async")
-                        else None,
-                        outs,
-                    )
+                    kick_async_fetch(outs)
                 proposed_cum += self._count_proposed_delta(
                     step0 + proposals_done,
                     step0 + proposals_done + n * thin_by,
@@ -1233,11 +1234,17 @@ class PTSampler:
         """Run ``nsteps`` kept steps; returns the final :class:`PTState`."""
         nsteps = int(nsteps)
         thin_by = int(thin_by)
-        sizes = chunk_schedule(
-            nsteps,
-            self._max_chunk(thin_by),
-            self._mixture_block if len(self._moves) > 1 else 1,
-        )
+
+        # The schedule is built inside _drive once the prepared state is
+        # known, so blob bytes (only discoverable after the first
+        # log-like evaluation) count against io_chunk_bytes.
+        def sizes(state):
+            return chunk_schedule(
+                nsteps,
+                self._max_chunk(thin_by, state.blobs),
+                self._mixture_block if len(self._moves) > 1 else 1,
+            )
+
         state = None
         with get_progress_bar(
             progress, nsteps * thin_by, **(progress_kwargs or {})
@@ -1319,8 +1326,14 @@ class PTSampler:
         return self.backend.get_log_prior(discard=discard, thin=thin)
 
     def get_blobs(self, discard=0, thin=1, temp=None):
-        """Stored user blobs (pytree of ``(it, T, nw, ...)`` leaves, or
-        one rung's with ``temp``); None when the model returns none."""
+        """Stored user blobs, or None when the model returns none.
+
+        In-memory and device backends return the blob pytree with
+        ``(it, T, nw, ...)`` leaves.  :class:`PTHDFBackend` returns what
+        is on disk — multi-leaf blobs come back as one structured numpy
+        record array of shape ``(it, T, nw)`` with one field per leaf
+        (the reference on-disk schema; same contract as the flat
+        ``HDFBackend``).  ``temp`` selects one rung either way."""
         return self.backend.get_blobs(
             discard=discard, thin=thin, temp=temp
         )

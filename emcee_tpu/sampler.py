@@ -27,7 +27,6 @@ backend resume), but the execution model is redesigned for XLA:
 
 from __future__ import annotations
 
-import os
 import time
 import warnings
 from typing import Any, Optional
@@ -45,7 +44,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import moves as _moves_mod
 from .backends import Backend
-from .driver import chunk_schedule, parse_io_dtype, parse_moves
+from .driver import (
+    cast_io,
+    chunk_schedule,
+    grow_blobs_template,
+    kick_async_fetch,
+    parse_io_dtype,
+    parse_moves,
+)
 from .model import Model, wrap_log_prob_fn
 from .ops import autocorr
 from .utils import defer_interrupts
@@ -787,35 +793,10 @@ class EnsembleSampler:
         return _BlobStruct(treedef, shapes, state.blobs)
 
     def _grow_blobs_template(self, blobs):
-        """Host-side shape/dtype template for ``backend.grow``.
-
-        ``grow`` only reads ``.shape``/``.dtype`` of the example leaves;
-        building numpy empties (with the ``io_dtype`` cast applied to
-        float leaves) avoids issuing eager device casts/transfers at run
-        start — each eager op is a full remote compile on the tunneled
-        TPU runtime.
-        """
-        if blobs is None:
-            return None
-
-        def t(leaf):
-            dt = leaf.dtype
-            if self._io_dtype is not None and jnp.issubdtype(
-                dt, jnp.floating
-            ):
-                dt = self._io_dtype
-            return np.empty(leaf.shape, dtype=dt)
-
-        return jax.tree_util.tree_map(t, blobs)
+        return grow_blobs_template(blobs, self._io_dtype)
 
     def _cast_io(self, x):
-        """Cast a stored float array to ``io_dtype`` (traced; see ctor)."""
-        if (
-            self._io_dtype is None
-            or not jnp.issubdtype(x.dtype, jnp.floating)
-        ):
-            return x
-        return x.astype(self._io_dtype)
+        return cast_io(x, self._io_dtype)
 
     def _io_itemsize(self, dtype):
         if self._io_dtype is not None and jnp.issubdtype(
@@ -970,18 +951,8 @@ class EnsembleSampler:
                     if store:
                         if not getattr(
                             self.backend, "wants_device_arrays", False
-                        ) and not os.environ.get("EMCEE_TPU_SYNC_FETCH"):
-                            # Kick the device->host DMA for this chunk
-                            # now, so the transfer overlaps the next
-                            # chunk's compute instead of starting only
-                            # when device_get blocks on it.  (The env
-                            # toggle exists for A/B measurement only.)
-                            jax.tree_util.tree_map(
-                                lambda a: a.copy_to_host_async()
-                                if hasattr(a, "copy_to_host_async")
-                                else None,
-                                out,
-                            )
+                        ):
+                            kick_async_fetch(out)
                         if pending is not None:
                             # Consume before saving: a KeyboardInterrupt
                             # landing inside _save_chunk must not trigger

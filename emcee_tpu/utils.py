@@ -206,24 +206,33 @@ def encode_str_blob(s, width):
 
     buf = np.zeros(int(width), dtype=np.uint8)
     raw = str(s).encode("utf-8")[: int(width)]
+    # Never cut a multi-byte codepoint at the truncation edge: a raw
+    # byte slice could leave a partial sequence that poisons the whole
+    # decode_str_blobs() readback with UnicodeDecodeError.
+    raw = raw.decode("utf-8", errors="ignore").encode("utf-8")
     buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
     return buf
 
 
-def decode_str_blobs(arr):
+def decode_str_blobs(arr, errors="strict"):
     """Decode a fetched uint8 blob array back to strings.
 
     The trailing axis is the byte width; every leading axis is
     preserved, so ``decode_str_blobs(sampler.get_blobs())`` on a
     ``(steps, nwalkers, W)`` blob returns a ``(steps, nwalkers)``
-    array of Python strings.
+    array of Python strings.  ``errors`` is passed to ``bytes.decode``
+    (use ``"replace"`` to salvage a store written by an encoder that
+    split a multi-byte codepoint).
     """
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
     flat = arr.reshape(-1, arr.shape[-1])
     out = np.array(
-        [bytes(row).rstrip(b"\x00").decode("utf-8") for row in flat],
+        [
+            bytes(row).rstrip(b"\x00").decode("utf-8", errors=errors)
+            for row in flat
+        ],
         dtype=object,
     )
     return out.reshape(arr.shape[:-1])

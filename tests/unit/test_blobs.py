@@ -90,3 +90,21 @@ def test_blobs_accepted_consistency():
     chain = np.asarray(s.get_chain())
     blobs = np.asarray(s.get_blobs())
     np.testing.assert_allclose(blobs, chain, rtol=1e-6)
+
+
+def test_hdf_dict_blob_key_change_rejected(tmp_path):
+    """Writing dict blobs with different keys into an existing store must
+    raise: count-only validation would pack values into the wrong
+    (sorted-name-ordered) fields."""
+    from emcee_tpu.backends import HDFBackend
+
+    b = HDFBackend(str(tmp_path / "blobs.h5"))
+    b.reset(4, 2)
+    coords = np.zeros((3, 4, 2))
+    lp = np.zeros((3, 4))
+    acc = np.zeros((3, 4), np.int32)
+    ok = {"a": np.zeros((3, 4), np.float32), "b": np.ones((3, 4), np.float32)}
+    b.save_chunk(coords, lp, ok, acc, None)
+    bad = {"b": np.zeros((2, 4), np.float32), "c": np.ones((2, 4), np.float32)}
+    with pytest.raises(ValueError, match="field names changed"):
+        b.save_chunk(coords[:2], lp[:2], bad, acc[:2], None)

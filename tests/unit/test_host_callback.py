@@ -223,3 +223,68 @@ def test_string_blobs_roundtrip(tmp_path):
     reloaded = HDFBackend(str(tmp_path / "labels.h5"), read_only=True)
     labels2 = decode_str_blobs(np.asarray(reloaded.get_blobs()))
     np.testing.assert_array_equal(labels2, expected)
+
+
+def test_blob_arity_mismatch_raises():
+    """Returning fewer blobs than host_callback_blobs declares must
+    error, not silently store uninitialized buffer memory."""
+
+    def lp_one_blob(x):
+        x = np.asarray(x)
+        return -0.5 * float(np.sum(x**2)), np.float64(x[0])
+
+    sampler = EnsembleSampler(
+        8,
+        2,
+        lp_one_blob,
+        host_callback=True,
+        host_callback_blobs=[np.float64, ((3,), np.float32)],
+        seed=0,
+    )
+    coords = np.random.default_rng(0).normal(size=(8, 2))
+    with pytest.raises(Exception, match="declares 2"):
+        sampler.run_mcmc(coords, 2)
+
+
+def test_encode_str_blob_utf8_boundary():
+    """Truncation never splits a multi-byte codepoint (a raw byte cut
+    used to poison the whole decode with UnicodeDecodeError)."""
+    from emcee_tpu.utils import decode_str_blobs, encode_str_blob
+
+    enc = encode_str_blob("abé", 3)  # 'é' is 2 bytes; would split
+    assert decode_str_blobs(enc[None])[0] == "ab"
+    enc4 = encode_str_blob("abé", 4)  # fits whole
+    assert decode_str_blobs(enc4[None])[0] == "abé"
+    # errors= passthrough for salvaging legacy stores
+    bad = np.array([97, 98, 195], dtype=np.uint8)
+    out = decode_str_blobs(bad[None], errors="replace")[0]
+    assert out.startswith("ab")
+
+
+def test_int_pool_executor_released_on_gc():
+    """An internally-owned thread pool (pool=<int>) must die with the
+    wrapper, not accumulate idle threads across sampler constructions."""
+    import gc
+    import threading
+    import time as _time
+
+    from emcee_tpu.model import wrap_log_prob_fn
+
+    def lp(x):
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    base = threading.active_count()
+    fns = [
+        wrap_log_prob_fn(lp, host_callback=True, pool=4) for _ in range(3)
+    ]
+    # Exercise the pools so the worker threads actually spawn.
+    for f in fns:
+        f(np.zeros((8, 2), np.float32))
+    assert threading.active_count() > base
+    del fns, f  # f: loop variable still pins the last wrapper
+    gc.collect()
+    for _ in range(50):  # shutdown(wait=False): threads exit async
+        if threading.active_count() <= base:
+            break
+        _time.sleep(0.1)
+    assert threading.active_count() <= base

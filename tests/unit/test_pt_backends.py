@@ -149,3 +149,63 @@ def test_device_to_host_roundtrip(h5file):
         np.asarray(hdf.get_chain()),
         np.asarray(be.get_chain(), dtype=np.float64),
     )
+
+
+def _chunk(k, T=2, nw=4, nd=3, blobs=None):
+    """Minimal save_chunk argument tuple for direct backend tests."""
+    return dict(
+        coords=np.zeros((k, T, nw, nd)),
+        log_like=np.zeros((k, T, nw)),
+        log_prior=np.zeros((k, T, nw)),
+        accepted=np.zeros((k, T, nw), np.int32),
+        swaps_accepted=np.zeros(T - 1, np.int64),
+        swaps_proposed=np.zeros(T - 1, np.int64),
+        random_state=None,
+        betas=np.array([1.0, 0.5]),
+        blobs=blobs,
+    )
+
+
+def test_pregrown_backend_allocates_first_blobs():
+    """A pre-sized chain must not skip first-time blob allocation:
+    grow(n, template) on an already-large-enough store previously
+    early-returned with blobs=None and the next save_chunk crashed."""
+    b = PTBackend()
+    b.reset(2, 4, 3)
+    b.grow(10)  # pre-size without blobs
+    template = {"s": np.zeros((2, 4), np.float32)}
+    b.grow(5, template)  # within capacity; must still allocate blobs
+    assert b.blobs is not None and b.blobs["s"].shape == (10, 2, 4)
+    b.save_chunk(**_chunk(5, blobs={"s": np.ones((5, 2, 4), np.float32)}))
+    assert b.iteration == 5
+    np.testing.assert_array_equal(b.get_blobs()["s"], 1.0)
+
+
+def test_hdf_blob_field_names_validated(h5file):
+    """Dict blobs with different keys must be rejected, not silently
+    written into the wrong (sorted-name-ordered) fields."""
+    b = PTHDFBackend(h5file)
+    b.reset(2, 4, 3)
+    ok = {
+        "a": np.zeros((3, 2, 4), np.float32),
+        "b": np.zeros((3, 2, 4), np.float32),
+    }
+    b.save_chunk(**_chunk(3, blobs=ok))
+    bad = {
+        "b": np.zeros((2, 2, 4), np.float32),
+        "c": np.zeros((2, 2, 4), np.float32),
+    }
+    with pytest.raises(ValueError, match="field names changed"):
+        b.save_chunk(**_chunk(2, blobs=bad))
+
+
+def test_pt_max_chunk_counts_blob_bytes():
+    """io_chunk_bytes must bound the blob buffer too: a data-sized blob
+    shrinks the chunk."""
+    pt = PTSampler(
+        2, 8, 2, log_like, log_prior, seed=0, io_chunk_bytes=1 << 16
+    )
+    no_blobs = pt._max_chunk(1)
+    big_blob = {"resid": np.zeros((2, 8, 500), np.float64)}
+    with_blobs = pt._max_chunk(1, big_blob)
+    assert with_blobs < no_blobs
