@@ -25,7 +25,26 @@ __all__ = [
     "cast_io",
     "grow_blobs_template",
     "kick_async_fetch",
+    "shim_thin",
 ]
+
+
+def shim_thin(n, thin):
+    """Map the deprecated ``thin=`` argument (counts *proposals*,
+    reference ``ensemble.py:355-372``; the v1.2 ``PTSampler.sample``
+    used the same convention) onto ``(kept, thin_by)``."""
+    import warnings
+
+    warnings.warn(
+        "the 'thin' argument is deprecated; use 'thin_by' (which "
+        "counts kept steps, not proposals) instead",
+        DeprecationWarning,
+        stacklevel=4,
+    )
+    thin = int(thin)
+    if thin <= 0:
+        raise ValueError("Invalid thinning argument")
+    return (None if n is None else int(n) // thin), thin
 
 
 def cast_io(x, io_dtype):

@@ -44,6 +44,7 @@ from ..driver import (
     kick_async_fetch,
     parse_io_dtype,
     parse_moves,
+    shim_thin,
 )
 from ..model import Model, wrap_log_prob_fn
 from ..ops import autocorr
@@ -1225,13 +1226,19 @@ class PTSampler:
         initial_state,
         nsteps,
         thin_by=1,
+        thin=None,
         store=True,
         tune=False,
         skip_initial_state_check=False,
         progress=False,
         progress_kwargs=None,
     ):
-        """Run ``nsteps`` kept steps; returns the final :class:`PTState`."""
+        """Run ``nsteps`` kept steps; returns the final :class:`PTState`.
+
+        ``thin=`` is the deprecated v1.2-era argument (counts proposals);
+        use ``thin_by`` (counts kept steps)."""
+        if thin is not None:
+            nsteps, thin_by = shim_thin(nsteps, thin)
         nsteps = int(nsteps)
         thin_by = int(thin_by)
 
@@ -1269,6 +1276,7 @@ class PTSampler:
         initial_state,
         iterations=1,
         thin_by=1,
+        thin=None,
         store=True,
         tune=False,
         skip_initial_state_check=False,
@@ -1288,6 +1296,8 @@ class PTSampler:
             raise ValueError(
                 "'store' must be False when 'iterations' is None"
             )
+        if thin is not None:
+            iterations, thin_by = shim_thin(iterations, thin)
         if iterations is None:
             import itertools
 

@@ -51,6 +51,7 @@ from .driver import (
     kick_async_fetch,
     parse_io_dtype,
     parse_moves,
+    shim_thin,
 )
 from .model import Model, wrap_log_prob_fn
 from .ops import autocorr
@@ -351,6 +352,8 @@ class EnsembleSampler:
             DeprecationWarning,
             stacklevel=3,
         )
+
+    _shim_thin = staticmethod(shim_thin)
 
     @property
     def chain(self):
@@ -833,6 +836,7 @@ class EnsembleSampler:
         tune=False,
         skip_initial_state_check=False,
         thin_by=1,
+        thin=None,
         store=True,
         progress=False,
         progress_kwargs=None,
@@ -841,10 +845,13 @@ class EnsembleSampler:
 
         Matches the reference generator semantics (``ensemble.py:258-424``)
         including ``iterations=None`` infinite streaming (requires
-        ``store=False``).
+        ``store=False``) and the deprecated ``thin=`` argument (counts
+        proposals; ``thin_by`` counts kept steps).
         """
         if iterations is None and store:
             raise ValueError("'store' must be False when 'iterations' is None")
+        if thin is not None:
+            iterations, thin_by = self._shim_thin(iterations, thin)
         thin_by = int(thin_by)
         if thin_by <= 0:
             raise ValueError("Invalid thinning argument")
@@ -894,6 +901,9 @@ class EnsembleSampler:
 
         tune = kwargs.pop("tune", False)
         thin_by = int(kwargs.pop("thin_by", 1))
+        thin = kwargs.pop("thin", None)
+        if thin is not None:
+            nsteps, thin_by = self._shim_thin(nsteps, thin)
         store = kwargs.pop("store", True)
         progress = kwargs.pop("progress", False)
         progress_kwargs = kwargs.pop("progress_kwargs", None) or {}

@@ -557,3 +557,41 @@ def test_pickling_with_adaptive_moves():
     s2.run_mcmc(None, 10)  # adaptation continues from the restored carry
     assert float(s2._move_carries[0]["w"]) > w_before
     assert s2.backend.iteration == 50
+
+
+def test_reference_import_path_aliases():
+    """Reference-style module paths resolve to the same objects:
+    ``emcee.ensemble`` / ``emcee.moves.move`` equivalents."""
+    import emcee_tpu
+    from emcee_tpu.ensemble import EnsembleSampler as ES
+    from emcee_tpu.ensemble import walkers_independent
+    from emcee_tpu.moves.move import Move
+
+    assert ES is emcee_tpu.EnsembleSampler
+    assert Move is emcee_tpu.moves.Move
+    assert callable(walkers_independent)
+
+
+def test_deprecated_thin_argument():
+    """Reference back-compat: ``thin=`` counts proposals and warns;
+    equivalent to ``thin_by=thin`` with ``n // thin`` kept steps."""
+    import warnings as _w
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    coords = np.asarray(
+        jax.random.normal(jax.random.key(3), (12, 2))
+    )
+    a = emcee_tpu.EnsembleSampler(12, 2, lp, seed=5)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any unexpected warning -> fail
+        _w.filterwarnings("always", category=DeprecationWarning)
+        with pytest.warns(DeprecationWarning, match="'thin'"):
+            a.run_mcmc(coords, 20, thin=4)
+    b = emcee_tpu.EnsembleSampler(12, 2, lp, seed=5)
+    b.run_mcmc(coords, 5, thin_by=4)
+    np.testing.assert_array_equal(
+        np.asarray(a.get_chain()), np.asarray(b.get_chain())
+    )
+    assert a.get_chain().shape[0] == 5

@@ -440,3 +440,30 @@ def test_pt_adaptive_interrupt_ladder_consistent():
     pt.run_mcmc(None, 60 - saved)
     assert pt.backend.iteration == 60
     assert np.all(np.isfinite(pt.get_chain()))
+
+
+def test_pt_deprecated_thin_argument():
+    """v1.2 PTSampler back-compat: ``thin=`` counts proposals, warns,
+    equals ``thin_by=thin`` with ``n // thin`` kept steps."""
+    import warnings as _w
+
+    import emcee_tpu
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2)
+
+    def lp(x):
+        return 0.0
+
+    c0 = np.asarray(jax.random.normal(jax.random.key(2), (3, 8, 2)))
+    a = emcee_tpu.PTSampler(3, 8, 2, ll, lp, seed=4)
+    with _w.catch_warnings():
+        _w.simplefilter("always")
+        with pytest.warns(DeprecationWarning, match="'thin'"):
+            a.run_mcmc(c0, 12, thin=3)
+    b = emcee_tpu.PTSampler(3, 8, 2, ll, lp, seed=4)
+    b.run_mcmc(c0, 4, thin_by=3)
+    np.testing.assert_array_equal(
+        np.asarray(a.get_chain()), np.asarray(b.get_chain())
+    )
+    assert a.get_chain().shape[0] == 4
