@@ -16,7 +16,7 @@ from .parallel.tempering import PTSampler
 from .sampler import EnsembleSampler
 from .state import State, walkers_independent
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "EnsembleSampler",

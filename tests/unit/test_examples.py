@@ -93,3 +93,9 @@ def test_example_production_pattern():
     mod.check_every = 500
     report = mod.main()
     assert report is not None
+
+
+def test_example_blackbox_pool():
+    mod = _load("10_blackbox_pool.py")
+    mod.nsteps = 20
+    mod.main()
