@@ -249,7 +249,12 @@ def wrap_log_prob_fn(
     if host_callback:
         import numpy as np
 
-        blob_leaves = _normalize_blob_spec(callback_blobs)
+        infer_pending = (
+            isinstance(callback_blobs, str) and callback_blobs == "auto"
+        )
+        blob_leaves = (
+            None if infer_pending else _normalize_blob_spec(callback_blobs)
+        )
         call = _FunctionWrapper(fn, args, kwargs)
         owned_executor = None
         if pool is None or vectorize:
@@ -320,7 +325,45 @@ def wrap_log_prob_fn(
                     leaf[i] = val
             return (lp,) + leaves
 
+        def infer_blobs(example_coords):
+            """Probe the host function once (with real coordinates, before
+            the first trace) and adopt whatever blob structure it returns
+            — the traced analogue of the reference's runtime blob-dtype
+            inference (``ensemble.py:498-547``).  Returns the concrete
+            spec (``[(shape, dtype), ...]`` or None) for persistence."""
+            nonlocal blob_leaves, infer_pending
+            if not infer_pending:
+                return blob_leaves
+            example_coords = np.asarray(example_coords)
+            res = call(
+                example_coords if vectorize else example_coords[0]
+            )
+            if isinstance(res, (tuple, list)) and len(res) > 1:
+                lead = 1 if vectorize else 0
+                blob_leaves = [
+                    (
+                        tuple(np.shape(v)[lead:]),
+                        np.dtype(
+                            jax.dtypes.canonicalize_dtype(
+                                np.asarray(v).dtype
+                            )
+                        ),
+                    )
+                    for v in res[1:]
+                ]
+            else:
+                blob_leaves = None
+            infer_pending = False
+            return blob_leaves
+
         def batched(coords):
+            if infer_pending:
+                raise RuntimeError(
+                    "host_callback_blobs='auto' requires one host-side "
+                    "probe with real coordinates before tracing; drive "
+                    "through the sampler (which probes the initial "
+                    "state) or call ._infer_blobs(coords) first"
+                )
             nw = coords.shape[0]
             lp_struct = jax.ShapeDtypeStruct((nw,), coords.dtype)
             if blob_leaves is None:
@@ -342,6 +385,7 @@ def wrap_log_prob_fn(
         # every Model builder (sampler, kernels, tempering) inherits the
         # clear error without re-plumbing a flag.
         batched._no_grad = True
+        batched._infer_blobs = infer_blobs
         if owned_executor is not None:
             import weakref
 

@@ -126,6 +126,11 @@ class PTSampler:
             ``host_callback=True`` (``.map`` object or int worker
             count); ignored with a warning otherwise.  Dropped on
             pickling.
+        host_callback_blobs: blob structure the host-callback
+            ``log_like_fn`` returns after the likelihood (a dtype, a
+            ``(shape, dtype)`` pair, a list of either, or ``"auto"`` to
+            infer by probing with the initial coordinates); blobs ride
+            the likelihood only.
         mixture_block: with a move mixture, draw the move once per block
             of this many kept steps instead of once per proposal —
             blocks run as pure-move scans with no per-proposal
@@ -159,6 +164,7 @@ class PTSampler:
         parameter_names=None,
         host_callback: bool = False,
         pool=None,
+        host_callback_blobs=None,
         mixture_block: int = 1,
     ):
         self.nwalkers = int(nwalkers)
@@ -225,6 +231,11 @@ class PTSampler:
             )
             pool = None
         self.pool = pool  # never pickled (reference parity)
+        if host_callback_blobs is not None and not host_callback:
+            raise ValueError(
+                "host_callback_blobs requires host_callback=True; "
+                "JAX-traceable log-likes return blobs directly"
+            )
         self._log_like_fn = log_like_fn
         self._log_prior_fn = log_prior_fn
         self._lp_settings = dict(
@@ -232,8 +243,14 @@ class PTSampler:
             parameter_names=parameter_names,
             host_callback=host_callback,
         )
+        # Blobs ride the likelihood only (the prior is a density, not a
+        # data product); "auto" probes the function with the initial
+        # coordinates to infer the structure (see EnsembleSampler).
         self._like_settings = dict(
-            args=args, kwargs=kwargs, **self._lp_settings
+            args=args,
+            kwargs=kwargs,
+            callback_blobs=host_callback_blobs,
+            **self._lp_settings,
         )
         self._wrap_fns()
         self._io_chunk_bytes = int(io_chunk_bytes)
@@ -899,6 +916,14 @@ class PTSampler:
         if state.random_state is None:
             self._key, sub = jax.random.split(self._key)
             state = state._replace(random_state=sub)
+        if self._like_settings.get("callback_blobs") == "auto":
+            # Resolve the blob structure with one host-side probe before
+            # anything traces; persist the concrete spec for rebuilds.
+            self._like_settings["callback_blobs"] = (
+                self._log_like._infer_blobs(
+                    np.asarray(state.coords).reshape(-1, self.ndim)
+                )
+            )
         need_eval = state.log_like is None
         if not need_eval and state.blobs is None:
             # The model may produce blobs the resumed state lacks (e.g.

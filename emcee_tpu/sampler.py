@@ -105,7 +105,10 @@ class EnsembleSampler:
             it is dropped on pickling.
         host_callback_blobs: static structure of per-walker blobs the
             host-callback function returns after the log-prob: a dtype,
-            a ``(shape, dtype)`` pair, or a list of either.
+            a ``(shape, dtype)`` pair, a list of either, or ``"auto"``
+            to probe the function once with the initial coordinates and
+            infer the structure (the traced analogue of the reference's
+            runtime blob-dtype inference, ``ensemble.py:498-547``).
         io_dtype: optional float dtype for *stored* chain coords and float
             blob leaves (e.g. ``np.float16``).  Casting happens inside the
             jitted chunk, before the device->host transfer, so it halves
@@ -765,6 +768,16 @@ class EnsembleSampler:
         if state.random_state is None:
             self._key, sub = jax.random.split(self._key)
             state = state._replace(random_state=sub)
+        if self._lp_settings.get("callback_blobs") == "auto":
+            # One host-side probe with the real initial coordinates
+            # resolves the blob structure before anything traces; the
+            # concrete spec is persisted so pickled/rebuilt samplers
+            # skip the probe.
+            self._lp_settings["callback_blobs"] = (
+                self._compute_log_prob._infer_blobs(
+                    np.asarray(state.coords)
+                )
+            )
         if state.log_prob is None:
             log_prob, blobs = self.compute_log_prob(state.coords)
             state = state._replace(log_prob=log_prob, blobs=blobs)

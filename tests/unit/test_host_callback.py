@@ -288,3 +288,87 @@ def test_int_pool_executor_released_on_gc():
             break
         _time.sleep(0.1)
     assert threading.active_count() <= base
+
+
+def _lp_two_blobs(x):
+    x = np.asarray(x)
+    return (
+        -0.5 * float(np.sum(x**2)),
+        np.float32(x[0]),
+        (x * 2).astype(np.float32),
+    )
+
+
+def test_auto_inferred_callback_blobs():
+    """host_callback_blobs='auto' probes the function with the initial
+    coordinates and matches the explicitly-declared run exactly."""
+    lp = _lp_two_blobs  # module-level: the pickle round-trip needs it
+    p0 = np.random.default_rng(1).normal(size=(16, 2)).astype(np.float32)
+    auto = EnsembleSampler(
+        16, 2, lp, host_callback=True, host_callback_blobs="auto", seed=0
+    )
+    auto.run_mcmc(p0, 6)
+    decl = EnsembleSampler(
+        16,
+        2,
+        lp,
+        host_callback=True,
+        host_callback_blobs=[np.float32, ((2,), np.float32)],
+        seed=0,
+    )
+    decl.run_mcmc(p0, 6)
+    np.testing.assert_array_equal(
+        np.asarray(auto.get_chain()), np.asarray(decl.get_chain())
+    )
+    for a, d in zip(auto.get_blobs(), decl.get_blobs()):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(d))
+    # the inferred spec is persisted: a pickled clone skips the probe
+    import pickle
+
+    clone = pickle.loads(pickle.dumps(auto))
+    clone.run_mcmc(None, 3)
+    assert clone.backend.iteration == 9
+
+
+def test_auto_infer_no_blobs():
+    """'auto' with a plain scalar-returning function degrades to the
+    no-blob path."""
+
+    def lp(x):
+        return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+    p0 = np.random.default_rng(0).normal(size=(8, 2)).astype(np.float32)
+    s = EnsembleSampler(
+        8, 2, lp, host_callback=True, host_callback_blobs="auto", seed=0
+    )
+    s.run_mcmc(p0, 4)
+    assert s.get_blobs() is None
+
+
+def test_pt_auto_inferred_callback_blobs():
+    """PTSampler supports host_callback_blobs (incl. 'auto'): blobs ride
+    the likelihood through the tempered machinery."""
+    import emcee_tpu
+
+    def ll(x):
+        x = np.asarray(x)
+        return -0.5 * float(np.sum(x**2)), np.float32(np.sum(x**2))
+
+    def lpr(x):
+        return 0.0
+
+    import jax
+
+    c0 = np.asarray(
+        jax.random.normal(jax.random.key(2), (3, 8, 2)), dtype=np.float32
+    )
+    pt = emcee_tpu.PTSampler(
+        3, 8, 2, ll, lpr, seed=4, host_callback=True,
+        host_callback_blobs="auto",
+    )
+    pt.run_mcmc(c0, 5)
+    assert np.shape(pt.get_blobs()) == (5, 3, 8)
+    with pytest.raises(ValueError, match="requires host_callback"):
+        emcee_tpu.PTSampler(
+            3, 8, 2, ll, lpr, host_callback_blobs=[np.float32]
+        )
