@@ -570,6 +570,13 @@ def test_reference_import_path_aliases():
     assert ES is emcee_tpu.EnsembleSampler
     assert Move is emcee_tpu.moves.Move
     assert callable(walkers_independent)
+    from emcee_tpu.interruptible_pool import InterruptiblePool
+    from multiprocessing.pool import Pool
+
+    assert InterruptiblePool is Pool
+    from emcee_tpu.mpi_pool import MPIPool  # import resolves either way
+
+    assert MPIPool is not None
 
 
 def test_deprecated_thin_argument():
