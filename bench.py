@@ -88,9 +88,10 @@ def main():
     nwalkers, ndim = 100_000, 5
     # Chunk length sweep (docs/performance.md): per-dispatch overhead on
     # the tunneled runtime is large enough that 512-step chunks leave
-    # ~35% on the table (2.0e9) vs 4096-step chunks (3.2e9); the curve
-    # plateaus at 8192.
-    nsteps = 4096
+    # ~35% on the table (2.0e9) vs 4096-step chunks (3.18e9); 8192 reads
+    # 3.29e9 and the curve plateaus at 16384 (3.33e9; 32768 flat, unroll
+    # 8/16/32/64 within noise — round-4 sweep).
+    nsteps = 16384
 
     def log_prob(x):
         return -0.5 * jnp.sum(x**2, axis=-1)

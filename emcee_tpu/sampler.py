@@ -142,7 +142,27 @@ class EnsembleSampler:
         mixture_block: int = 1,
         io_dtype=None,
         host_callback_blobs=None,
+        # Deprecated v2-era arguments, accepted with the reference's
+        # warn-and-ignore semantics (ensemble.py:93-113).
+        a=None,
+        postargs=None,
+        threads=None,
+        live_dangerously=None,
+        runtime_sortingfn=None,
     ):
+        for name, val in (
+            ("a", a),
+            ("threads", threads),
+            ("runtime_sortingfn", runtime_sortingfn),
+            ("live_dangerously", live_dangerously),
+        ):
+            if val is not None:
+                warnings.warn(
+                    f"The '{name}' argument is deprecated"
+                    + (", use 'moves' instead" if name == "a" else ""),
+                    DeprecationWarning,
+                    stacklevel=2,
+                )
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
         if pool is not None and not host_callback:

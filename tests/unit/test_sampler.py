@@ -602,3 +602,19 @@ def test_deprecated_thin_argument():
         np.asarray(a.get_chain()), np.asarray(b.get_chain())
     )
     assert a.get_chain().shape[0] == 5
+
+
+def test_deprecated_constructor_args_warn_and_ignore():
+    """Reference semantics (ensemble.py:93-113): v2-era constructor
+    arguments warn and are ignored."""
+    import warnings as _w
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    with pytest.warns(DeprecationWarning, match="'a'.*moves"):
+        s = emcee_tpu.EnsembleSampler(8, 2, lp, a=3.0, seed=0)
+    with pytest.warns(DeprecationWarning, match="'threads'"):
+        emcee_tpu.EnsembleSampler(8, 2, lp, threads=4, seed=0)
+    # ignored: default StretchMove still in effect
+    assert type(s._moves[0]).__name__ == "StretchMove"
