@@ -206,11 +206,26 @@ def main():
 
     # Device-resident storage (DeviceBackend): the chain lands in HBM with
     # no device->host stream, which is the framework's native storage mode
-    # on TPU (diagnostics run on device; download-on-demand).  Same jitted
-    # chunk as above -> no new compile.  tau is reused from the
-    # identically-configured host-streamed chain.
+    # on TPU (diagnostics run on device; download-on-demand).  tau is
+    # reused from the identically-configured host-streamed chain.  The
+    # chunk budget is per-stage: the host-stream stage wants small (32MB)
+    # chunks so transfers pipeline, but with no transfer to overlap the
+    # device path prefers fewer, larger dispatches — sweep (round 4):
+    # 2^25 -> 1.28e9, 2^28 -> 1.36e9 stored ws/s, 2^30 regresses (8.6e8,
+    # compile/HBM pressure), unroll 4 vs 16 within noise.
     from emcee_tpu.backends import DeviceBackend
 
+    sampler = EnsembleSampler(
+        nwalkers,
+        ndim,
+        log_prob,
+        vectorize=True,
+        seed=1,
+        prng="rbg",
+        moves=moves.StretchMove(randomize_split=False, pair_mode="roll"),
+        scan_unroll=4,
+        io_chunk_bytes=1 << 28,
+    )
     sampler.backend = DeviceBackend()
     sampler.backend.reset(nwalkers, ndim)
     st2 = sampler.run_mcmc(

@@ -40,6 +40,15 @@ def _key_data(random_state):
         return np.asarray(random_state)
 
 
+def _check_blob_consistency(iteration, has_blobs, blobs):
+    """A store's blob structure is fixed by its first save: a blob-ful
+    chain continued by a blob-less model (or vice versa) must error, not
+    silently leave uninitialized rows (reference ``backend.py:158-162``).
+    """
+    if iteration > 0 and bool(has_blobs) != (blobs is not None):
+        raise ValueError("inconsistent use of blobs")
+
+
 def _wrap_key(data):
     if data is None:
         return None
@@ -135,6 +144,7 @@ class Backend:
         """
         coords = np.asarray(coords)
         k = coords.shape[0]
+        _check_blob_consistency(self.iteration, self.has_blobs, blobs)
         self._ensure_capacity(k, blobs)
         i = self.iteration
         self.chain[i : i + k] = coords

@@ -34,7 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..state import State
-from .backend import Backend, _key_data, _wrap_key
+from .backend import (
+    Backend,
+    _check_blob_consistency,
+    _key_data,
+    _wrap_key,
+)
 
 __all__ = ["DeviceBackend"]
 
@@ -183,6 +188,13 @@ class DeviceBackend(_DeviceChunkStore, Backend):
         Accepts device or host arrays; host arrays (e.g. the multi-host
         gather path) are kept as-is and promoted on first device read.
         """
+        if self._chunks:
+            # Structure is fixed by the first chunk: a mixed blob/no-blob
+            # sequence would crash consolidation's tree_map later, or
+            # worse return garbage (reference ``backend.py:158-162``).
+            _check_blob_consistency(
+                self.iteration, self._chunks[0][2] is not None, blobs
+            )
         self._append_chunk((coords, log_prob, blobs, accepted))
         self.iteration += int(coords.shape[0])
         self.random_state = random_state  # raw device key; lazy read

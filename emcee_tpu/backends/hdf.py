@@ -33,7 +33,12 @@ import jax
 import numpy as np
 
 from ..state import State
-from .backend import Backend, _key_data, _wrap_key
+from .backend import (
+    Backend,
+    _check_blob_consistency,
+    _key_data,
+    _wrap_key,
+)
 
 try:
     import h5py
@@ -324,6 +329,7 @@ class HDFBackend(Backend):
         with self.open() as f:
             g = f[self.name]
             it = int(g.attrs["iteration"])
+            _check_blob_consistency(it, g.attrs["has_blobs"], blobs)
             short = it + k - g["chain"].shape[0]
             need_blob_init = blobs is not None and not g.attrs["has_blobs"]
         if short > 0 or need_blob_init:

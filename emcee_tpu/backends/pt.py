@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from ..state import State  # noqa: F401  (re-export convenience)
-from .backend import _key_data, _wrap_key
+from .backend import _check_blob_consistency, _key_data, _wrap_key
 from .device import _DeviceChunkStore
 from .hdf import (
     _check_blob_fields,
@@ -127,6 +127,7 @@ class PTBackend:
     ):
         coords = np.asarray(coords)
         k = coords.shape[0]
+        _check_blob_consistency(self.iteration, self.has_blobs, blobs)
         if self.chain is None or self.iteration + k > self._size:
             # Un-pre-grown fallback: grow geometrically so repeated
             # appends amortize to O(n) total copying, not O(chunks * n).
@@ -304,6 +305,12 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
         betas,
         blobs=None,
     ):
+        if self._chunks:
+            # Mixed blob/no-blob chunks would crash consolidation later
+            # (reference ``backend.py:158-162`` raises the same way).
+            _check_blob_consistency(
+                self.iteration, self._chunks[0][4] is not None, blobs
+            )
         self._append_chunk(
             (coords, log_like, log_prior, accepted, blobs)
         )
@@ -545,6 +552,9 @@ class PTHDFBackend(PTBackend):
         with self.open("a") as f:
             g = f[self.name]
             it = int(g.attrs["iteration"])
+            _check_blob_consistency(
+                it, g.attrs.get("has_blobs", False), blobs
+            )
             writes = [
                 ("chain", coords),
                 ("log_like", np.asarray(log_like)),

@@ -32,12 +32,18 @@ __all__ = [
 def shim_thin(n, thin):
     """Map the deprecated ``thin=`` argument (counts *proposals*,
     reference ``ensemble.py:355-372``; the v1.2 ``PTSampler.sample``
-    used the same convention) onto ``(kept, thin_by)``."""
+    used the same convention) onto ``(kept, thin_by)``.
+
+    When ``n`` is not divisible by ``thin`` this runs
+    ``(n // thin) * thin`` proposals — the reference would advance the
+    tail proposals too without storing them; the warning says so.
+    """
     import warnings
 
     warnings.warn(
         "the 'thin' argument is deprecated; use 'thin_by' (which "
-        "counts kept steps, not proposals) instead",
+        "counts kept steps, not proposals) instead; note n not "
+        "divisible by thin rounds down to (n // thin) * thin proposals",
         DeprecationWarning,
         stacklevel=4,
     )

@@ -98,30 +98,39 @@ class Model(NamedTuple):
         return x
 
 
-def _named_params_adapter(
-    fn: Callable,
-    key_map: Dict[str, Union[int, List[int]]],
-) -> Callable:
+class _NamedParamsAdapter:
     """Adapt an ``x``-array log-prob to named-parameter calling convention.
 
     Mirrors ``ensemble.py:174-214, 685-700``: the user function receives a
     dict mapping names to scalars (single index) or vectors (index list).
     Vectorization happens outside, so ``x`` here is a single ``(ndim,)``
-    vector.
+    vector.  A class (not a closure) so the host-callback path can ship
+    it through a ``multiprocessing.Pool`` — process pools pickle the
+    mapped callable, and local closures cannot cross that boundary.
     """
 
-    import numpy as np
+    def __init__(
+        self,
+        fn: Callable,
+        key_map: Dict[str, Union[int, List[int]]],
+    ):
+        import numpy as np
 
-    key_map = {
-        key: (np.asarray(val) if isinstance(val, (list, tuple)) else val)
-        for key, val in key_map.items()
-    }
+        self.fn = fn
+        self.key_map = {
+            key: (
+                np.asarray(val) if isinstance(val, (list, tuple)) else val
+            )
+            for key, val in key_map.items()
+        }
 
-    def wrapped(x, *args, **kwargs):
-        params = {key: x[val] for key, val in key_map.items()}
-        return fn(params, *args, **kwargs)
+    def __call__(self, x, *args, **kwargs):
+        params = {key: x[val] for key, val in self.key_map.items()}
+        return self.fn(params, *args, **kwargs)
 
-    return wrapped
+
+def _named_params_adapter(fn, key_map):
+    return _NamedParamsAdapter(fn, key_map)
 
 
 class _FunctionWrapper:

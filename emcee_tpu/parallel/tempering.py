@@ -124,8 +124,10 @@ class PTSampler:
             are rejected on this path.
         pool: host-side fan-out for per-walker calls with
             ``host_callback=True`` (``.map`` object or int worker
-            count); ignored with a warning otherwise.  Dropped on
-            pickling.
+            count); applies to the likelihood only — the prior
+            evaluates inline (per-call pool dispatch would cost more
+            than a typical prior).  Ignored with a warning otherwise.
+            Dropped on pickling.
         host_callback_blobs: blob structure the host-callback
             ``log_like_fn`` returns after the likelihood (a dtype, a
             ``(shape, dtype)`` pair, a list of either, or ``"auto"`` to
@@ -305,21 +307,15 @@ class PTSampler:
         self._run_cache = {}
 
     def _wrap_fns(self):
-        pool = self.pool
-        if isinstance(pool, (int, np.integer)):
-            import weakref
-            from concurrent.futures import ThreadPoolExecutor
-
-            # One shared executor for both wrapped fns (an int pool would
-            # otherwise spin up two thread pools), released when this
-            # sampler is garbage-collected.
-            pool = ThreadPoolExecutor(int(self.pool))
-            weakref.finalize(self, pool.shutdown, wait=False)
+        # The pool fans out the (expensive) likelihood only: a typical
+        # prior is microseconds of host work, and per-call pool dispatch
+        # would cost more than it saves.  wrap_log_prob_fn owns and
+        # reclaims the executor when given an int worker count.
         self._log_like = wrap_log_prob_fn(
-            self._log_like_fn, pool=pool, **self._like_settings
+            self._log_like_fn, pool=self.pool, **self._like_settings
         )
         self._log_prior = wrap_log_prob_fn(
-            self._log_prior_fn, pool=pool, **self._lp_settings
+            self._log_prior_fn, pool=None, **self._lp_settings
         )
 
     def __getstate__(self):
@@ -925,6 +921,18 @@ class PTSampler:
                 )
             )
         need_eval = state.log_like is None
+        if not need_eval and state.blobs is not None:
+            # Resumed blob-ful state + a likelihood that no longer
+            # returns blobs would freeze stale blob values into every
+            # stored row (see EnsembleSampler._prepare_state).
+            _, bs = jax.eval_shape(
+                self._log_like, state.coords.reshape(-1, self.ndim)
+            )
+            if bs is None:
+                raise ValueError(
+                    "inconsistent use of blobs: the resumed state "
+                    "carries blobs but the log-likelihood returns none"
+                )
         if not need_eval and state.blobs is None:
             # The model may produce blobs the resumed state lacks (e.g.
             # a backend that does not store them): recompute so the blob
@@ -1049,7 +1057,7 @@ class PTSampler:
                 out[parity : self.ntemps - 1 : 2] += cnt * self.nwalkers
         return out
 
-    def _max_chunk(self, thin_by, blobs=None):
+    def _max_chunk(self, blobs=None):
         """Kept steps per device dispatch, bounded by ``io_chunk_bytes``
         (4096-step cap: dispatch overhead keeps paying off up to ~4k
         steps/chunk on this runtime — chunk-length sweep,
@@ -1251,12 +1259,12 @@ class PTSampler:
         initial_state,
         nsteps,
         thin_by=1,
-        thin=None,
         store=True,
         tune=False,
         skip_initial_state_check=False,
         progress=False,
         progress_kwargs=None,
+        thin=None,  # deprecated; trailing so positional calls don't shift
     ):
         """Run ``nsteps`` kept steps; returns the final :class:`PTState`.
 
@@ -1273,7 +1281,7 @@ class PTSampler:
         def sizes(state):
             return chunk_schedule(
                 nsteps,
-                self._max_chunk(thin_by, state.blobs),
+                self._max_chunk(state.blobs),
                 self._mixture_block if len(self._moves) > 1 else 1,
             )
 
@@ -1301,12 +1309,12 @@ class PTSampler:
         initial_state,
         iterations=1,
         thin_by=1,
-        thin=None,
         store=True,
         tune=False,
         skip_initial_state_check=False,
         progress=False,
         progress_kwargs=None,
+        thin=None,  # deprecated; trailing so positional calls don't shift
     ):
         """Generator yielding a :class:`PTState` every ``thin_by`` proposals
         (the v1.2-era ``PTSampler.sample`` surface).  ``iterations=None``

@@ -814,6 +814,19 @@ class EnsembleSampler:
                 if blobs_struct is not None:
                     log_prob, blobs = self.compute_log_prob(state.coords)
                     state = state._replace(log_prob=log_prob, blobs=blobs)
+            else:
+                # The reverse mismatch: a resumed blob-ful state with a
+                # model that no longer returns blobs would silently
+                # freeze the stale blob values into every stored row
+                # (the accept select has no new leaves to pick from).
+                _, blobs_struct = jax.eval_shape(
+                    self._compute_log_prob, state.coords
+                )
+                if blobs_struct is None:
+                    raise ValueError(
+                        "inconsistent use of blobs: the resumed state "
+                        "carries blobs but the log-prob returns none"
+                    )
         return self._device_put_state(state)
 
     def _blobs_struct(self, state):
@@ -869,10 +882,10 @@ class EnsembleSampler:
         tune=False,
         skip_initial_state_check=False,
         thin_by=1,
-        thin=None,
         store=True,
         progress=False,
         progress_kwargs=None,
+        thin=None,  # deprecated; trailing so positional calls don't shift
     ):
         """Advance the chain as a generator, yielding every ``thin_by``.
 

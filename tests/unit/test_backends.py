@@ -276,3 +276,34 @@ def test_save_step_compat():
         be.save_step(state, np.array([True, False, True, False]))
     assert be.iteration == 3
     np.testing.assert_array_equal(be.accepted, [3, 0, 3, 0])
+
+
+def test_inconsistent_blob_use_rejected(tmp_path):
+    """Reference parity (backend.py:158-162): a store's blob structure
+    is fixed by the first save — continuing blob-ful with blob-less (or
+    vice versa) raises instead of leaving uninitialized rows."""
+    from emcee_tpu.backends import Backend, DeviceBackend, HDFBackend
+
+    def cases():
+        yield Backend()
+        yield DeviceBackend()
+        yield HDFBackend(str(tmp_path / "incons.h5"))
+
+    for b in cases():
+        b.reset(4, 2)
+        coords = np.zeros((2, 4, 2))
+        lp = np.zeros((2, 4))
+        acc = np.zeros((2, 4), np.int32)
+        b.save_chunk(coords, lp, np.ones((2, 4), np.float32), acc, None)
+        with pytest.raises(ValueError, match="inconsistent use of blobs"):
+            b.save_chunk(coords, lp, None, acc, None)
+        # and the reverse on a fresh blob-less store
+        b2 = type(b)(str(tmp_path / "incons2.h5")) if isinstance(
+            b, HDFBackend
+        ) else type(b)()
+        b2.reset(4, 2)
+        b2.save_chunk(coords, lp, None, acc, None)
+        with pytest.raises(ValueError, match="inconsistent use of blobs"):
+            b2.save_chunk(
+                coords, lp, np.ones((2, 4), np.float32), acc, None
+            )

@@ -108,3 +108,26 @@ def test_hdf_dict_blob_key_change_rejected(tmp_path):
     bad = {"b": np.zeros((2, 4), np.float32), "c": np.ones((2, 4), np.float32)}
     with pytest.raises(ValueError, match="field names changed"):
         b.save_chunk(coords[:2], lp[:2], bad, acc[:2], None)
+
+
+def test_blobless_resume_of_blobful_chain_rejected(tmp_path):
+    """A model that stopped returning blobs cannot continue a blob-ful
+    chain: the accept select would freeze the stale blob values into
+    every stored row (silent corruption, not an error)."""
+    from emcee_tpu.backends import HDFBackend
+
+    path = str(tmp_path / "stale.h5")
+
+    def lp_b(x):
+        return -0.5 * jnp.sum(x**2), jnp.sum(x)
+
+    coords = np.asarray(jax.random.normal(jax.random.key(1), (8, 2)))
+    s1 = EnsembleSampler(8, 2, lp_b, backend=HDFBackend(path), seed=0)
+    s1.run_mcmc(coords, 4)
+
+    def lp_nb(x):
+        return -0.5 * jnp.sum(x**2)
+
+    s2 = EnsembleSampler(8, 2, lp_nb, backend=HDFBackend(path), seed=0)
+    with pytest.raises(ValueError, match="inconsistent use of blobs"):
+        s2.run_mcmc(None, 3)

@@ -372,3 +372,44 @@ def test_pt_auto_inferred_callback_blobs():
         emcee_tpu.PTSampler(
             3, 8, 2, ll, lpr, host_callback_blobs=[np.float32]
         )
+
+
+def _named_lp(params):
+    return -0.5 * float(params["a"] ** 2 + np.sum(params["bc"] ** 2))
+
+
+def test_named_params_with_process_pool():
+    """parameter_names survives a real multiprocessing.Pool: the
+    adapter must be picklable (a class, not a local closure)."""
+    p0 = np.random.default_rng(0).normal(size=(8, 3)).astype(np.float32)
+    with multiprocessing.Pool(2) as pool:
+        s = EnsembleSampler(
+            8,
+            3,
+            _named_lp,
+            host_callback=True,
+            pool=pool,
+            parameter_names={"a": 0, "bc": [1, 2]},
+            seed=0,
+        )
+        s.run_mcmc(p0, 4)
+    assert np.asarray(s.get_chain()).shape == (4, 8, 3)
+
+
+def test_sample_positional_args_unshifted():
+    """The deprecated thin= rides at the END of the signatures: v0.5.0
+    positional calls (thin_by, store, ...) must bind unchanged."""
+
+    def lp(x):
+        return -0.5 * np.sum(np.asarray(x) ** 2)
+
+    import emcee_tpu
+    import inspect
+
+    for fn, after in [
+        (EnsembleSampler.sample, "progress_kwargs"),
+        (emcee_tpu.PTSampler.run_mcmc, "progress_kwargs"),
+        (emcee_tpu.PTSampler.sample, "progress_kwargs"),
+    ]:
+        params = list(inspect.signature(fn).parameters)
+        assert params.index("thin") > params.index(after), params

@@ -205,7 +205,20 @@ def test_pt_max_chunk_counts_blob_bytes():
     pt = PTSampler(
         2, 8, 2, log_like, log_prior, seed=0, io_chunk_bytes=1 << 16
     )
-    no_blobs = pt._max_chunk(1)
+    no_blobs = pt._max_chunk()
     big_blob = {"resid": np.zeros((2, 8, 500), np.float64)}
-    with_blobs = pt._max_chunk(1, big_blob)
+    with_blobs = pt._max_chunk(big_blob)
     assert with_blobs < no_blobs
+
+
+def test_pt_inconsistent_blob_use_rejected(h5file):
+    """Blob-ful tempered stores reject blob-less continuation (and vice
+    versa) across all three backends (reference backend.py:158-162)."""
+    from emcee_tpu.backends.pt import PTDeviceBackend
+
+    blob = {"s": np.ones((2, 2, 4), np.float32)}
+    for b in (PTBackend(), PTDeviceBackend(), PTHDFBackend(h5file)):
+        b.reset(2, 4, 3)
+        b.save_chunk(**_chunk(2, blobs=blob))
+        with pytest.raises(ValueError, match="inconsistent use of blobs"):
+            b.save_chunk(**_chunk(2, blobs=None))

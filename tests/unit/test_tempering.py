@@ -467,3 +467,26 @@ def test_pt_deprecated_thin_argument():
         np.asarray(a.get_chain()), np.asarray(b.get_chain())
     )
     assert a.get_chain().shape[0] == 4
+
+
+def test_pt_blobless_resume_of_blobful_chain_rejected():
+    """PT equivalent of the stale-blob resume guard."""
+    import emcee_tpu
+    from emcee_tpu.backends.pt import PTBackend
+
+    def ll_b(x):
+        return -0.5 * jnp.sum(x**2), jnp.sum(x)
+
+    def ll_nb(x):
+        return -0.5 * jnp.sum(x**2)
+
+    def lp(x):
+        return 0.0
+
+    be = PTBackend()
+    c0 = np.asarray(jax.random.normal(jax.random.key(1), (2, 8, 2)))
+    pt1 = emcee_tpu.PTSampler(2, 8, 2, ll_b, lp, seed=0, backend=be)
+    pt1.run_mcmc(c0, 4)
+    pt2 = emcee_tpu.PTSampler(2, 8, 2, ll_nb, lp, seed=0, backend=be)
+    with pytest.raises(ValueError, match="inconsistent use of blobs"):
+        pt2.run_mcmc(None, 3)
