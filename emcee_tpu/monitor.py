@@ -99,16 +99,25 @@ def run_until_converged(
     Mirrors the monitor-tutorial loop: sample in blocks, estimate tau from
     the stored chain, stop at ``tau_factor * tau < iteration`` with a
     stable tau.
+
+    Works with :class:`~.parallel.tempering.PTSampler` too: convergence
+    is judged on the cold rung (``get_chain(temp=0)``), the chain whose
+    samples are the posterior draws.
     """
     if monitor is None:
         monitor = ConvergenceMonitor()
+    # Tempered samplers store (it, T, nw, nd); judge the beta=1 rung.
+    tempered = hasattr(sampler, "betas")
     state = initial_state
     done = 0
     while done < max_steps:
         n = min(check_every, max_steps - done)
         state = sampler.run_mcmc(state, n, progress=progress, **kwargs)
         done += n
-        if monitor.update(sampler.get_chain()):
+        chain = (
+            sampler.get_chain(temp=0) if tempered else sampler.get_chain()
+        )
+        if monitor.update(chain):
             break
         # Subsequent calls continue from the sampler's previous state.
         state = None

@@ -179,3 +179,30 @@ def test_kernel_api_with_gradient_move():
     chain_std = float(jnp.std(state.coords))
     assert 0.6 < chain_std < 1.5, chain_std
     assert 0.2 < float(jnp.mean(acc)) < 0.95
+
+
+def test_run_until_converged_pt():
+    """run_until_converged drives a PTSampler, judging the cold rung."""
+    import emcee_tpu
+    from emcee_tpu import ConvergenceMonitor, run_until_converged
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2)
+
+    def lp(x):
+        return 0.0
+
+    pt = emcee_tpu.PTSampler(3, 32, 2, ll, lp, seed=0)
+    c0 = np.asarray(jax.random.normal(jax.random.key(1), (3, 32, 2)))
+    state, mon = run_until_converged(
+        pt,
+        c0,
+        max_steps=3000,
+        check_every=500,
+        monitor=ConvergenceMonitor(tau_factor=50.0, dtau_rel=0.05),
+    )
+    assert mon.tau is not None and mon.tau.shape == (2,)
+    # stopped early = the criterion fired on the cold-rung chain
+    assert pt.backend.iteration < 3000
+    # the judged chain was the cold rung
+    assert pt.get_chain(temp=0).ndim == 3
