@@ -1285,6 +1285,16 @@ class PTSampler:
                 self._mixture_block if len(self._moves) > 1 else 1,
             )
 
+        import time
+
+        from ..profiling import RunStats
+
+        stats = RunStats(
+            nsteps=nsteps,
+            nproposals=nsteps * thin_by,
+            nwalkers=self.ntemps * self.nwalkers,
+        )
+        t_run = time.perf_counter()
         state = None
         with get_progress_bar(
             progress, nsteps * thin_by, **(progress_kwargs or {})
@@ -1293,7 +1303,7 @@ class PTSampler:
                 initial_state, sizes, thin_by, store, tune,
                 skip_initial_state_check, pbar, pregrow=nsteps,
             ):
-                pass
+                stats.chunks += 1
         if state is None:  # nsteps == 0
             state = self._prepare_state(
                 initial_state
@@ -1302,6 +1312,10 @@ class PTSampler:
                 skip_initial_state_check,
             )
         jax.block_until_ready(state.coords)
+        stats.walltime_s = time.perf_counter() - t_run
+        # Same throughput-counter surface as EnsembleSampler.run_mcmc;
+        # nwalkers counts all rungs (ntemps * nwalkers model evals/step).
+        self.last_run_stats = stats
         return state
 
     def sample(

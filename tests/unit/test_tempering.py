@@ -490,3 +490,24 @@ def test_pt_blobless_resume_of_blobful_chain_rejected():
     pt2 = emcee_tpu.PTSampler(2, 8, 2, ll_nb, lp, seed=0, backend=be)
     with pytest.raises(ValueError, match="inconsistent use of blobs"):
         pt2.run_mcmc(None, 3)
+
+
+def test_pt_run_stats():
+    """PTSampler.run_mcmc fills the same RunStats surface as the flat
+    sampler (throughput counters over all rungs)."""
+    import emcee_tpu
+
+    def ll(x):
+        return -0.5 * jnp.sum(x**2)
+
+    def lp(x):
+        return 0.0
+
+    pt = emcee_tpu.PTSampler(2, 8, 2, ll, lp, seed=0)
+    c0 = np.asarray(jax.random.normal(jax.random.key(1), (2, 8, 2)))
+    pt.run_mcmc(c0, 6, thin_by=2)
+    st = pt.last_run_stats
+    assert st.nsteps == 6 and st.nproposals == 12
+    assert st.nwalkers == 16 and st.chunks >= 1
+    assert st.walltime_s > 0 and st.walker_steps_per_sec > 0
+    assert "kept steps" in st.summary()
