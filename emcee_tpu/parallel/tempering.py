@@ -22,6 +22,7 @@ spacing ``ratio = 1 + sqrt(2/ndim)`` appropriate for Gaussian-like targets.
 
 from __future__ import annotations
 
+import time
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -1285,8 +1286,6 @@ class PTSampler:
                 self._mixture_block if len(self._moves) > 1 else 1,
             )
 
-        import time
-
         from ..profiling import RunStats
 
         stats = RunStats(
@@ -1294,7 +1293,7 @@ class PTSampler:
             nproposals=nsteps * thin_by,
             nwalkers=self.ntemps * self.nwalkers,
         )
-        t_run = time.perf_counter()
+        t_run = t_chunk = time.perf_counter()
         state = None
         with get_progress_bar(
             progress, nsteps * thin_by, **(progress_kwargs or {})
@@ -1304,6 +1303,9 @@ class PTSampler:
                 skip_initial_state_check, pbar, pregrow=nsteps,
             ):
                 stats.chunks += 1
+                now = time.perf_counter()
+                stats.chunk_times.append(now - t_chunk)
+                t_chunk = now
         if state is None:  # nsteps == 0
             state = self._prepare_state(
                 initial_state
@@ -1312,6 +1314,12 @@ class PTSampler:
                 skip_initial_state_check,
             )
         jax.block_until_ready(state.coords)
+        if jax.process_count() == 1:
+            # Forced value fetch: block_until_ready can return before
+            # execution finishes on the tunneled runtime, which would
+            # inflate the recorded throughput (store=False runs fetch
+            # nothing otherwise).
+            jax.device_get(state.log_like[:1, :1])
         stats.walltime_s = time.perf_counter() - t_run
         # Same throughput-counter surface as EnsembleSampler.run_mcmc;
         # nwalkers counts all rungs (ntemps * nwalkers model evals/step).

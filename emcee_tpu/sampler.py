@@ -1047,6 +1047,12 @@ class EnsembleSampler:
 
         # Block so failures surface here.
         jax.block_until_ready(state.coords)
+        if jax.process_count() == 1:
+            # Forced value fetch: block_until_ready can return before
+            # execution finishes on the tunneled runtime, which would
+            # inflate the recorded throughput (store=False runs fetch
+            # nothing otherwise).
+            jax.device_get(state.log_prob[:1])
         stats.walltime_s = time.perf_counter() - t_run
         self.last_run_stats = stats
         return state

@@ -509,5 +509,11 @@ def test_pt_run_stats():
     st = pt.last_run_stats
     assert st.nsteps == 6 and st.nproposals == 12
     assert st.nwalkers == 16 and st.chunks >= 1
+    assert len(st.chunk_times) == st.chunks
     assert st.walltime_s > 0 and st.walker_steps_per_sec > 0
     assert "kept steps" in st.summary()
+    # store=False runs fetch nothing through the backend; the forced
+    # value fetch keeps the recorded walltime honest anyway.
+    pt.run_mcmc(None, 4, store=False)
+    assert pt.last_run_stats.nsteps == 4
+    assert pt.last_run_stats.walltime_s > 0
