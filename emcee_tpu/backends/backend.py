@@ -91,6 +91,11 @@ class Backend:
             blobs: an example blob pytree (leading axis nwalkers) or None,
                 used to allocate blob storage on first growth.
         """
+        # The consistency precondition must run here too (reference
+        # grow() checks first thing): run_mcmc pre-grows before any
+        # save, and a template that flips has_blobs would let the
+        # save_chunk check pass over an uninitialized blob prefix.
+        _check_blob_consistency(self.iteration, self.has_blobs, blobs)
         ngrow = int(ngrow)
         self._size = self.iteration + ngrow
         dtype = self.dtype or np.float64

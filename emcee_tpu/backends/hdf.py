@@ -117,6 +117,14 @@ def _check_blob_fields(stored_names, stored_kind, leaves, kind, names):
             "blob structure changed: file stores "
             f"{len(stored_names)} fields, got {len(leaves)} leaves"
         )
+    if ("dict" in (stored_kind, kind)) and stored_kind != kind:
+        # A dict's leaves are ordered by sorted key, a tuple's by
+        # position: crossing kinds writes leaves into the wrong fields
+        # even when the count matches.
+        raise ValueError(
+            "blob structure changed: file stores kind "
+            f"'{stored_kind}', got '{kind}'"
+        )
     if kind == "dict" and stored_kind == "dict" and list(names) != list(
         stored_names
     ):
@@ -273,6 +281,9 @@ class HDFBackend(Backend):
         lay out blob storage the first time blobs appear."""
         with self.open("a") as f:
             g = f[self.name]
+            _check_blob_consistency(
+                int(g.attrs["iteration"]), g.attrs["has_blobs"], blobs
+            )
             ntot = int(g.attrs["iteration"]) + int(ngrow)
             g["chain"].resize(ntot, axis=0)
             g["log_prob"].resize(ntot, axis=0)

@@ -66,6 +66,9 @@ class PTBackend:
         return self.blobs is not None
 
     def grow(self, ngrow, blobs=None):
+        # Same precondition as the flat Backend.grow: a pre-grow that
+        # flips has_blobs would defeat save_chunk's consistency check.
+        _check_blob_consistency(self.iteration, self.has_blobs, blobs)
         new_size = self.iteration + int(ngrow)
         if self.chain is not None and new_size <= self._size:
             # Already pre-sized (run_mcmc pre-grows by nsteps) — but a
@@ -474,6 +477,11 @@ class PTHDFBackend(PTBackend):
         """Pre-size the datasets (h5py resize; no data copying)."""
         with self.open("a") as f:
             g = f[self.name]
+            _check_blob_consistency(
+                int(g.attrs["iteration"]),
+                g.attrs.get("has_blobs", False),
+                blobs,
+            )
             if blobs is not None:
                 self._ensure_blob_dataset(g, blobs)
             size = int(g.attrs["iteration"]) + int(ngrow)

@@ -43,9 +43,11 @@ def shim_thin(n, thin):
     warnings.warn(
         "the 'thin' argument is deprecated; use 'thin_by' (which "
         "counts kept steps, not proposals) instead; note n not "
-        "divisible by thin rounds down to (n // thin) * thin proposals",
+        "divisible by thin rounds down to (n // thin) * thin "
+        "proposals, and generators yield once per KEPT step (the "
+        "reference yielded every proposal under thin=)",
         DeprecationWarning,
-        stacklevel=4,
+        stacklevel=3,  # shim_thin -> sampler method -> user call site
     )
     thin = int(thin)
     if thin <= 0:

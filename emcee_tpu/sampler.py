@@ -892,7 +892,11 @@ class EnsembleSampler:
         Matches the reference generator semantics (``ensemble.py:258-424``)
         including ``iterations=None`` infinite streaming (requires
         ``store=False``) and the deprecated ``thin=`` argument (counts
-        proposals; ``thin_by`` counts kept steps).
+        proposals; ``thin_by`` counts kept steps).  One divergence under
+        ``thin=``: this generator yields once per *kept* step
+        (``iterations // thin`` yields), where the reference yielded
+        every proposal — the chain advances in compiled blocks here, so
+        per-proposal host callbacks have no equivalent.
         """
         if iterations is None and store:
             raise ValueError("'store' must be False when 'iterations' is None")

@@ -307,3 +307,41 @@ def test_inconsistent_blob_use_rejected(tmp_path):
             b2.save_chunk(
                 coords, lp, np.ones((2, 4), np.float32), acc, None
             )
+
+
+def test_grow_respects_blob_consistency(tmp_path):
+    """grow() enforces the same precondition as save_chunk: a pre-grow
+    whose blob template flips has_blobs must raise, not allocate an
+    uninitialized prefix the later save-check then waves through."""
+    from emcee_tpu.backends import Backend, HDFBackend
+
+    for b in (Backend(), HDFBackend(str(tmp_path / "g.h5"))):
+        b.reset(4, 2)
+        coords = np.zeros((2, 4, 2))
+        lp = np.zeros((2, 4))
+        acc = np.zeros((2, 4), np.int32)
+        b.save_chunk(coords, lp, None, acc, None)  # blob-less prefix
+        with pytest.raises(ValueError, match="inconsistent use of blobs"):
+            b.grow(5, np.zeros((4,), np.float32))
+
+
+def test_blobful_continuation_of_blobless_chain_rejected(tmp_path):
+    """End-to-end: a model that STARTS returning blobs cannot continue a
+    blob-less chain (the stored prefix has no blob rows)."""
+    from emcee_tpu.backends import HDFBackend
+
+    path = str(tmp_path / "nb2b.h5")
+
+    def lp_nb(x):
+        return -0.5 * jnp.sum(x**2)
+
+    coords = np.asarray(jax.random.normal(jax.random.key(1), (8, 2)))
+    s1 = EnsembleSampler(8, 2, lp_nb, backend=HDFBackend(path), seed=0)
+    s1.run_mcmc(coords, 4)
+
+    def lp_b(x):
+        return -0.5 * jnp.sum(x**2), jnp.sum(x)
+
+    s2 = EnsembleSampler(8, 2, lp_b, backend=HDFBackend(path), seed=0)
+    with pytest.raises(ValueError, match="inconsistent use of blobs"):
+        s2.run_mcmc(None, 3)

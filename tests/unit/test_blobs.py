@@ -131,3 +131,21 @@ def test_blobless_resume_of_blobful_chain_rejected(tmp_path):
     s2 = EnsembleSampler(8, 2, lp_nb, backend=HDFBackend(path), seed=0)
     with pytest.raises(ValueError, match="inconsistent use of blobs"):
         s2.run_mcmc(None, 3)
+
+
+def test_hdf_blob_kind_change_rejected(tmp_path):
+    """A dict-layout blob file continued with a same-arity tuple (or
+    vice versa) must raise: dict leaves are sorted-key ordered, tuple
+    leaves positional — crossing kinds silently swaps fields."""
+    from emcee_tpu.backends import HDFBackend
+
+    b = HDFBackend(str(tmp_path / "kind.h5"))
+    b.reset(4, 2)
+    coords = np.zeros((2, 4, 2))
+    lp = np.zeros((2, 4))
+    acc = np.zeros((2, 4), np.int32)
+    ok = {"zz": np.zeros((2, 4), np.float32), "aa": np.ones((2, 4), np.float32)}
+    b.save_chunk(coords, lp, ok, acc, None)
+    bad = (np.zeros((2, 4), np.float32), np.ones((2, 4), np.float32))
+    with pytest.raises(ValueError, match="kind"):
+        b.save_chunk(coords, lp, bad, acc, None)
