@@ -80,3 +80,54 @@ def test_contract(nw, nd, nsteps, thin_by, mv, be):
     s.run_mcmc(None, 3, thin_by=thin_by)
     assert s.iteration == nsteps + 3
     assert np.all(np.isfinite(np.asarray(s.get_chain())))
+
+
+def _hc_lp_plain(x):
+    return -0.5 * float(np.sum(np.asarray(x) ** 2))
+
+
+def _hc_lp_blob(x):
+    x = np.asarray(x)
+    return -0.5 * float(np.sum(x**2)), np.float32(x[0])
+
+
+@pytest.mark.parametrize("blobs_mode", [None, "declared", "auto"])
+def test_host_callback_pool_invariance(blobs_mode):
+    """The pool is an execution detail: for a fixed host function, the
+    chain (and blobs) must be bit-identical across no-pool, thread-pool,
+    and executor configurations, for every blob-declaration mode."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    fn = _hc_lp_plain if blobs_mode is None else _hc_lp_blob
+    spec = {
+        None: None,
+        "declared": [np.float32],
+        "auto": "auto",
+    }[blobs_mode]
+    p0 = np.random.default_rng(3).normal(size=(8, 2)).astype(np.float32)
+
+    def run(pool):
+        s = EnsembleSampler(
+            8,
+            2,
+            fn,
+            host_callback=True,
+            pool=pool,
+            host_callback_blobs=spec,
+            seed=7,
+        )
+        s.run_mcmc(p0, 5)
+        return (
+            np.asarray(s.get_chain()),
+            None if s.get_blobs() is None else np.asarray(s.get_blobs()),
+        )
+
+    base_chain, base_blobs = run(None)
+    with ThreadPoolExecutor(3) as ex:
+        for pool in (2, ex):
+            chain, blobs = run(pool)
+            np.testing.assert_array_equal(chain, base_chain)
+            if base_blobs is None:
+                assert blobs is None
+            else:
+                np.testing.assert_array_equal(blobs, base_blobs)
