@@ -131,3 +131,58 @@ def test_host_callback_pool_invariance(blobs_mode):
                 assert blobs is None
             else:
                 np.testing.assert_array_equal(blobs, base_blobs)
+
+
+def _pt_ll(x):
+    return -0.5 * jnp.sum(x**2, axis=-1)
+
+
+def _pt_lp(x):
+    return jnp.zeros(x.shape[:-1])
+
+
+PT_CONFIGS = [
+    # (ntemps, nw, nd, nsteps, thin_by, kwargs)
+    (3, 8, 2, 6, 2, dict(adaptive=True)),
+    (2, 10, 3, 8, 1, dict(io_dtype=np.float16, swap_every=2)),
+    (4, 6, 2, 5, 1, dict(mixture_block=1)),
+]
+
+
+@pytest.mark.parametrize(
+    "T,nw,nd,nsteps,thin_by,kw", PT_CONFIGS,
+    ids=[f"pt{i}" for i in range(len(PT_CONFIGS))],
+)
+def test_pt_contract(T, nw, nd, nsteps, thin_by, kw):
+    """PT invariants across odd config combinations: shapes, finiteness,
+    bookkeeping, ladder monotonicity, and finite continuation."""
+    import emcee_tpu
+
+    pt = emcee_tpu.PTSampler(
+        T, nw, nd, _pt_ll, _pt_lp, vectorize=True, seed=nd, **kw
+    )
+    c0 = np.asarray(
+        jax.random.normal(jax.random.key(T * 10 + nw), (T, nw, nd))
+    )
+    st = pt.run_mcmc(c0, nsteps, thin_by=thin_by)
+    chain = np.asarray(pt.get_chain())
+    assert chain.shape == (nsteps, T, nw, nd)
+    assert np.all(np.isfinite(chain))
+    ll = np.asarray(pt.get_log_like())
+    assert ll.shape == (nsteps, T, nw)
+    betas = np.asarray(pt.betas)
+    assert betas[0] == 1.0 and np.all(np.diff(betas) < 0)
+    acc = np.asarray(pt.acceptance_fraction)
+    assert np.all((acc >= 0) & (acc <= 1))
+    sw = np.asarray(pt.tswap_acceptance_fraction)
+    assert np.all((sw >= 0) & (sw <= 1))
+    assert pt.backend.iteration == nsteps
+    np.testing.assert_allclose(
+        np.asarray(st.coords),
+        chain[-1].astype(np.asarray(st.coords).dtype),
+        rtol=2e-3 if kw.get("io_dtype") is not None else 1e-12,
+        atol=2e-3 if kw.get("io_dtype") is not None else 0,
+    )
+    pt.run_mcmc(None, 2, thin_by=thin_by)
+    assert pt.backend.iteration == nsteps + 2
+    assert np.all(np.isfinite(np.asarray(pt.get_chain())))
