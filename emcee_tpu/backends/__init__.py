@@ -4,12 +4,16 @@ from . import pt
 from .backend import Backend
 from .device import DeviceBackend
 from .hdf import HDFBackend, TempHDFBackend
+from .pt import PTBackend, PTDeviceBackend, PTHDFBackend
 
 __all__ = [
     "Backend",
     "DeviceBackend",
     "HDFBackend",
     "TempHDFBackend",
+    "PTBackend",
+    "PTDeviceBackend",
+    "PTHDFBackend",
     "pt",
     "get_test_backends",
 ]

@@ -44,8 +44,17 @@ def _check_blob_consistency(iteration, has_blobs, blobs):
     """A store's blob structure is fixed by its first save: a blob-ful
     chain continued by a blob-less model (or vice versa) must error, not
     silently leave uninitialized rows (reference ``backend.py:158-162``).
+
+    The blob-ful-store + blob-less-save direction errors at *any*
+    iteration (matching the reference): ``grow(n, blob_template)`` on a
+    fresh store flips ``has_blobs`` before the first save, and letting a
+    blob-less save through at iteration 0 would leave uninitialized blob
+    rows behind.  The opposite direction (blobs appearing) is only an
+    error once rows exist, so it keeps the ``iteration > 0`` gate.
     """
-    if iteration > 0 and bool(has_blobs) != (blobs is not None):
+    if bool(has_blobs) and blobs is None:
+        raise ValueError("inconsistent use of blobs")
+    if iteration > 0 and blobs is not None and not bool(has_blobs):
         raise ValueError("inconsistent use of blobs")
 
 

@@ -620,13 +620,38 @@ class PTHDFBackend(PTBackend):
                 )
             return np.asarray(g[name][discard + thin - 1 : it : thin])
 
-    def get_blobs(self, discard=0, thin=1, temp=None):
-        """Stored blobs as a structured record array ``(it, T, nw)``
-        (one field per blob leaf), or one rung's with ``temp``."""
-        if not self.has_blobs:
-            return None
-        v = self._get("blobs", discard, thin)
-        return v[:, temp] if temp is not None else v
+    def get_blobs(self, discard=0, thin=1, temp=None, structured=False):
+        """Stored blobs with leading ``(it, T, nw)`` axes (one rung's
+        with ``temp``).
+
+        Returns the same pytree shape the in-memory PT backends return
+        (a bare array for single-leaf blobs, the original tuple/dict
+        for multi-leaf ones), rebuilt from the on-disk structured
+        record array.  Pass ``structured=True`` for the raw on-disk
+        record array instead (the flat :class:`HDFBackend`'s
+        reference-schema behavior)."""
+        with self.open() as f:
+            g = f[self.name]
+            if not g.attrs.get("has_blobs", False):
+                return None
+            it = int(g.attrs["iteration"])
+            if it <= 0:
+                raise AttributeError(
+                    "you must run the sampler with 'store == True' "
+                    "before accessing the results"
+                )
+            v = np.asarray(g["blobs"][discard + thin - 1 : it : thin])
+            kind = g.attrs.get("blobs_kind", "leaf")
+            names = list(g.attrs["blobs_fields"])
+        if structured:
+            return v[:, temp] if temp is not None else v
+        if kind == "leaf" or v.dtype.names is None:
+            out = np.asarray(v[names[0]]) if v.dtype.names else v
+            return out[:, temp] if temp is not None else out
+        blobs = _unpack_records(v, kind, names)
+        if temp is not None:
+            blobs = jax.tree_util.tree_map(lambda b: b[:, temp], blobs)
+        return blobs
 
     def get_last_sample(self):
         from ..parallel.tempering import PTState

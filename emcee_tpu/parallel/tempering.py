@@ -925,9 +925,16 @@ class PTSampler:
         if not need_eval and state.blobs is not None:
             # Resumed blob-ful state + a likelihood that no longer
             # returns blobs would freeze stale blob values into every
-            # stored row (see EnsembleSampler._prepare_state).
+            # stored row (see EnsembleSampler._prepare_state).  Only
+            # shapes are needed — a concrete reshape of resumed device
+            # coords would be an eager device op (remote-compile cost on
+            # the tunneled runtime).
             _, bs = jax.eval_shape(
-                self._log_like, state.coords.reshape(-1, self.ndim)
+                self._log_like,
+                jax.ShapeDtypeStruct(
+                    (self.ntemps * self.nwalkers, self.ndim),
+                    state.coords.dtype,
+                ),
             )
             if bs is None:
                 raise ValueError(
@@ -941,7 +948,11 @@ class PTSampler:
             # tree would let rejected walkers adopt rejected proposals'
             # blobs in the accept select.
             _, bs = jax.eval_shape(
-                self._log_like, state.coords.reshape(-1, self.ndim)
+                self._log_like,
+                jax.ShapeDtypeStruct(
+                    (self.ntemps * self.nwalkers, self.ndim),
+                    state.coords.dtype,
+                ),
             )
             need_eval = bs is not None
         if need_eval:

@@ -46,9 +46,11 @@ class RunStats:
     which some remote/tunneled runtimes release before execution truly
     finishes — a run that fetches nothing (``store=False``, or a
     device-resident backend) can then under-count ``walltime_s`` and
-    over-report the rates.  For benchmarking, force a value fetch
-    (``np.asarray(...)`` of something the run computed) inside your own
-    timing window — bench.py does exactly this.
+    over-report the rates.  Pass ``run_mcmc(..., accurate_timing=True)``
+    to close the timing window with a forced value fetch of the final
+    ``log_prob`` (one ``(nwalkers,)`` transfer) instead; the
+    ``accurate`` flag records which way ``walltime_s`` was measured.
+    bench.py forces fetches in its own timing windows the same way.
     """
 
     nsteps: int = 0
@@ -57,6 +59,7 @@ class RunStats:
     walltime_s: float = 0.0
     chunks: int = 0
     chunk_times: List[float] = field(default_factory=list)
+    accurate: bool = False
 
     @property
     def steps_per_sec(self) -> float:

@@ -116,6 +116,14 @@ class EnsembleSampler:
             footprint).  The live sampling state and ``log_prob`` stay full
             precision.  Pair with ``Backend(dtype=...)`` /
             ``HDFBackend(dtype=...)`` to keep the host copy compact too.
+        max_chunk_steps: optional cap on kept steps per compiled device
+            dispatch.  By default the sampler picks 4096 when chunks
+            stream to the host (keeps transfer overlap and progress
+            granularity useful) and 16384 when they stay on device
+            (``store=False`` or a :class:`DeviceBackend`), which is the
+            measured throughput plateau on v5e (docs/performance.md
+            chunk sweep).  Set explicitly to trade dispatch overhead
+            against compile time / progress granularity.
     """
 
     def __init__(
@@ -142,6 +150,7 @@ class EnsembleSampler:
         mixture_block: int = 1,
         io_dtype=None,
         host_callback_blobs=None,
+        max_chunk_steps=None,
         # Deprecated v2-era arguments, accepted with the reference's
         # warn-and-ignore semantics (ensemble.py:93-113).
         a=None,
@@ -243,6 +252,18 @@ class EnsembleSampler:
         self._mixture_block = int(mixture_block)
         if self._mixture_block < 1:
             raise ValueError("mixture_block must be >= 1")
+        # Optional override of the auto-chosen kept-steps-per-dispatch
+        # cap (see _auto_chunk).  None = auto: 4096 when chunks stream to
+        # host, 16384 when they stay on device (store=False /
+        # DeviceBackend).
+        self._max_chunk_steps = (
+            None if max_chunk_steps is None else int(max_chunk_steps)
+        )
+        if (
+            self._max_chunk_steps is not None
+            and self._max_chunk_steps < 1
+        ):
+            raise ValueError("max_chunk_steps must be >= 1")
         # Reduced-precision chain streaming: stored coords (and float blob
         # leaves) are cast to this dtype *inside the jitted chunk*, before
         # they cross the device->host boundary — halving transfer bytes
@@ -854,7 +875,7 @@ class EnsembleSampler:
             return self._io_dtype.itemsize
         return dtype.itemsize
 
-    def _auto_chunk(self, state, thin_by):
+    def _auto_chunk(self, state, thin_by, store=True):
         """Kept-steps per device dispatch, bounded by io_chunk_bytes."""
         bytes_per_step = state.coords.size * self._io_itemsize(
             state.coords.dtype
@@ -865,11 +886,23 @@ class EnsembleSampler:
             for leaf in jax.tree_util.tree_leaves(state.blobs):
                 bytes_per_step += leaf.size * self._io_itemsize(leaf.dtype)
         n = max(1, self._io_chunk_bytes // max(1, bytes_per_step))
-        # Cap the scan length: dispatch overhead on the tunneled runtime
-        # keeps paying off up to ~4096 steps/chunk (chunk-length sweep in
-        # docs/performance.md), and beyond that the curve is flat while
-        # host-overlap granularity and progress updates get coarser.
-        return int(min(n, 4096))
+        # Cap the scan length (chunk-length sweep in docs/performance.md):
+        # on the host-transfer path 4096 steps/chunk keeps host-overlap
+        # granularity and progress updates usable while the throughput
+        # curve is within ~5% of flat; with no per-chunk host transfer
+        # (store=False, or an HBM-resident DeviceBackend) longer scans
+        # keep amortizing dispatch overhead, so the cap lifts to 16384 —
+        # the headline-bench operating point.  ``max_chunk_steps=``
+        # overrides both.
+        if self._max_chunk_steps is not None:
+            cap = self._max_chunk_steps
+        elif not store or getattr(
+            self.backend, "wants_device_arrays", False
+        ):
+            cap = 16384
+        else:
+            cap = 4096
+        return int(min(n, cap))
 
     def _chunk_schedule(self, nsteps, max_chunk):
         blk = self._mixture_block if len(self._moves) > 1 else 1
@@ -958,6 +991,7 @@ class EnsembleSampler:
         progress = kwargs.pop("progress", False)
         progress_kwargs = kwargs.pop("progress_kwargs", None) or {}
         skip_check = kwargs.pop("skip_initial_state_check", False)
+        accurate_timing = kwargs.pop("accurate_timing", False)
         if kwargs:
             raise TypeError(f"unexpected keyword arguments: {list(kwargs)}")
         if thin_by <= 0:
@@ -980,7 +1014,7 @@ class EnsembleSampler:
             )
 
         schedule = self._chunk_schedule(
-            nsteps, self._auto_chunk(state, thin_by)
+            nsteps, self._auto_chunk(state, thin_by, store)
         )
         total = nsteps * thin_by
         from .profiling import RunStats
@@ -1049,10 +1083,16 @@ class EnsembleSampler:
                     self._previous_state = p[1]
                     self._move_carries = p[2]
 
-        # Block so failures surface here.  (No forced value fetch: a
-        # per-run device_get would cost an eager-slice compile + a
-        # tunnel roundtrip; see RunStats.walltime_s's accuracy caveat.)
+        # Block so failures surface here.  (By default no forced value
+        # fetch: a per-run device_get costs a tunnel roundtrip; see
+        # RunStats.walltime_s's accuracy caveat.  accurate_timing=True
+        # opts into one (nwalkers,) transfer so the timing window
+        # provably covers execution on runtimes whose block_until_ready
+        # releases early.)
         jax.block_until_ready(state.coords)
+        if accurate_timing:
+            np.asarray(jax.device_get(state.log_prob))
+            stats.accurate = True
         stats.walltime_s = time.perf_counter() - t_run
         self.last_run_stats = stats
         return state

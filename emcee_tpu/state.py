@@ -28,6 +28,13 @@ __all__ = ["State"]
 class State(NamedTuple):
     """A snapshot of the walker ensemble.
 
+    Field (= positional-constructor) order matches the reference
+    (``state.py:30-45``): ``State(coords, log_prob, blobs,
+    random_state)``.  Iteration follows the reference's *legacy unpack*
+    order instead (``state.py:47-75``): ``coords, log_prob,
+    random_state`` for a blob-less state (the tutorial 3-tuple idiom),
+    with ``blobs`` appended when present.
+
     Fields
     ------
     coords:
@@ -35,17 +42,45 @@ class State(NamedTuple):
     log_prob:
         ``(nwalkers,)`` log-probabilities, or ``None`` before the first
         evaluation.
-    random_state:
-        JAX PRNG key advancing the chain, or ``None``.
     blobs:
         Optional pytree of per-walker metadata with leading axis
         ``nwalkers``.
+    random_state:
+        JAX PRNG key advancing the chain, or ``None``.
     """
 
     coords: jax.Array
     log_prob: Optional[jax.Array] = None
-    random_state: Optional[jax.Array] = None
     blobs: Optional[Any] = None
+    random_state: Optional[jax.Array] = None
+
+    # Legacy unpack parity (reference ``state.py:47-75``).  JAX pytree
+    # flattening and the namedtuple field accessors use C-level tuple
+    # storage (field order) and are unaffected; ``_replace``/``_make``/
+    # ``_asdict`` are re-attached below with iteration-free
+    # implementations (the stdlib versions iterate ``self`` and would
+    # see the logical order/length).
+    def __iter__(self):
+        c, lp, blobs, rs = tuple.__getitem__(self, slice(0, 4))
+        if blobs is None:
+            return iter((c, lp, rs))
+        return iter((c, lp, rs, blobs))
+
+    def __len__(self) -> int:
+        return 3 if tuple.__getitem__(self, 2) is None else 4
+
+    def __getitem__(self, index):
+        # Reference ``State.__getitem__``: logical order (coords,
+        # log_prob, random_state[, blobs]); negative indices wrap by the
+        # logical length, and index 3 is only valid with blobs.
+        logical = tuple(iter(self))
+        if isinstance(index, slice):
+            return logical[index]
+        if index < 0:
+            index = len(logical) + index
+        if 0 <= index < len(logical):
+            return logical[index]
+        raise IndexError("Invalid index '{0}'".format(index))
 
     @property
     def nwalkers(self) -> int:
@@ -69,6 +104,69 @@ class State(NamedTuple):
         )
 
 
+# typing.NamedTuple forbids overriding these in the class body; attach
+# iteration-free versions (the stdlib ones build from ``iter(self)`` /
+# ``len(result)``, which the legacy unpack above redefines).
+def _state_new(
+    cls, coords, log_prob=None, blobs=None, random_state=None, copy=False
+):
+    # Reference copy-constructor form: ``State(other_state[, copy=True])``
+    # (``state.py:35-41``).  JAX pytree unflattening calls
+    # ``State(*children)`` in field order, which this signature preserves.
+    if hasattr(coords, "coords"):
+        from copy import deepcopy
+
+        dc = deepcopy if copy else (lambda x: x)
+        return tuple.__new__(
+            cls,
+            (
+                dc(coords.coords),
+                dc(coords.log_prob),
+                dc(getattr(coords, "blobs", None)),
+                dc(getattr(coords, "random_state", None)),
+            ),
+        )
+    return tuple.__new__(cls, (coords, log_prob, blobs, random_state))
+
+
+def _state_replace(self, **kwds):
+    fields = {
+        name: tuple.__getitem__(self, i)
+        for i, name in enumerate(State._fields)
+    }
+    for name in kwds:
+        if name not in fields:
+            raise ValueError(f"Got unexpected field names: {[name]!r}")
+    fields.update(kwds)
+    return State(**fields)
+
+
+def _state_make(cls, iterable):
+    # Field order (coords, log_prob, blobs, random_state), padded with
+    # None defaults.
+    values = tuple(iterable)
+    if not 1 <= len(values) <= 4:
+        raise TypeError(f"Expected 1-4 arguments, got {len(values)}")
+    return tuple.__new__(cls, values + (None,) * (4 - len(values)))
+
+
+def _state_asdict(self):
+    return {
+        name: tuple.__getitem__(self, i)
+        for i, name in enumerate(State._fields)
+    }
+
+
+State.__new__ = _state_new
+State._replace = _state_replace
+State._make = classmethod(_state_make)
+State._asdict = _state_asdict
+# Pickle via the raw field-order tuple (positional ctor order matches).
+State.__getnewargs__ = lambda self: tuple(
+    tuple.__getitem__(self, slice(0, 4))
+)
+
+
 def as_state(initial_state, dtype=None) -> State:
     """Coerce user input (array, tuple, or State) into a ``State``.
 
@@ -85,8 +183,16 @@ def as_state(initial_state, dtype=None) -> State:
     if isinstance(initial_state, (tuple, list)) and not isinstance(
         initial_state, np.ndarray
     ):
-        # Back-compat tuple forms: (coords,), (coords, log_prob), ...
-        return State(*initial_state)
+        # Back-compat tuple forms in the v2 sampler-output / legacy
+        # unpack order: (coords,), (coords, log_prob),
+        # (coords, log_prob, random_state[, blobs]).
+        names = ("coords", "log_prob", "random_state", "blobs")
+        if len(initial_state) > 4:
+            raise ValueError(
+                "cannot coerce a tuple of length "
+                f"{len(initial_state)} into a State"
+            )
+        return State(**dict(zip(names, initial_state)))
     coords = jnp.asarray(initial_state, dtype=dtype)
     return State(coords=coords)
 

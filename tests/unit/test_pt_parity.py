@@ -274,22 +274,31 @@ def test_pt_blobs_hdf_backend(tmp_path):
         3, 16, 2, log_like_blobs, log_prior, backend=backend, seed=0
     )
     pt.run_mcmc(init_coords(3, 16, 2), 15)
-    rec = pt.get_blobs()
+    # Pytree contract symmetric with the in-memory PT backends: a
+    # tuple of leaves, not the on-disk record array.
+    b0, b1 = pt.get_blobs()
+    assert b0.shape == (15, 3, 16)
+    np.testing.assert_allclose(
+        b0, 2.0 * np.asarray(pt.get_log_like()), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        b1, np.asarray(pt.get_chain()), rtol=1e-5
+    )
+    # structured=True exposes the raw on-disk record array.
+    rec = backend.get_blobs(structured=True)
     assert rec.shape == (15, 3, 16)
     assert set(rec.dtype.names) == {"blob0", "blob1"}
-    np.testing.assert_allclose(
-        rec["blob0"], 2.0 * np.asarray(pt.get_log_like()), rtol=1e-5
-    )
-    np.testing.assert_allclose(
-        rec["blob1"], np.asarray(pt.get_chain()), rtol=1e-5
-    )
+    np.testing.assert_allclose(rec["blob0"], b0, rtol=1e-5)
+    # temp= slices every leaf.
+    t0, _ = backend.get_blobs(temp=0)
+    np.testing.assert_allclose(t0, b0[:, 0], rtol=1e-5)
     # fresh sampler resumes from the file, recomputing blob structure
     pt2 = PTSampler(
         3, 16, 2, log_like_blobs, log_prior,
         backend=PTHDFBackend(str(tmp_path / "ptb.h5")), seed=0,
     )
     pt2.run_mcmc(None, 5)
-    assert pt2.get_blobs().shape == (20, 3, 16)
+    assert pt2.get_blobs()[0].shape == (20, 3, 16)
 
 
 def test_pt_no_blobs_unchanged():

@@ -618,3 +618,66 @@ def test_deprecated_constructor_args_warn_and_ignore():
         emcee_tpu.EnsembleSampler(8, 2, lp, threads=4, seed=0)
     # ignored: default StretchMove still in effect
     assert type(s._moves[0]).__name__ == "StretchMove"
+
+
+def test_chunk_cap_lifts_without_host_transfer():
+    """The kept-steps-per-dispatch cap is 4096 on the host-transfer
+    path, 16384 when chunks never leave the device (store=False or a
+    DeviceBackend), and max_chunk_steps= overrides both — so the
+    headline-bench operating point is reachable via run_mcmc."""
+    nwalkers, ndim = 8, 2
+    st = State(jnp.zeros((nwalkers, ndim)), log_prob=jnp.zeros(nwalkers))
+    s = EnsembleSampler(nwalkers, ndim, normal_log_prob, seed=0)
+    assert s._auto_chunk(st, 1, store=True) == 4096
+    assert s._auto_chunk(st, 1, store=False) == 16384
+    dev = EnsembleSampler(
+        nwalkers, ndim, normal_log_prob, seed=0,
+        backend=backends.DeviceBackend(),
+    )
+    assert dev._auto_chunk(st, 1, store=True) == 16384
+    over = EnsembleSampler(
+        nwalkers, ndim, normal_log_prob, seed=0, max_chunk_steps=100
+    )
+    assert over._auto_chunk(st, 1, store=True) == 100
+    assert over._auto_chunk(st, 1, store=False) == 100
+    with pytest.raises(ValueError, match="max_chunk_steps"):
+        EnsembleSampler(
+            nwalkers, ndim, normal_log_prob, seed=0, max_chunk_steps=0
+        )
+    # io_chunk_bytes still bounds the host-transfer path.
+    tiny = EnsembleSampler(
+        nwalkers, ndim, normal_log_prob, seed=0, io_chunk_bytes=1024
+    )
+    bytes_per_step = (
+        st.coords.size * st.coords.dtype.itemsize
+        + st.log_prob.size * st.log_prob.dtype.itemsize
+        + nwalkers * 4
+    )
+    assert tiny._auto_chunk(st, 1, store=True) == max(
+        1, 1024 // bytes_per_step
+    )
+
+
+def test_max_chunk_steps_run_and_pickle_roundtrip():
+    import pickle
+
+    s = EnsembleSampler(
+        8, 2, normal_log_prob, seed=3, max_chunk_steps=7
+    )
+    coords = jax.random.normal(jax.random.key(3), (8, 2))
+    s.run_mcmc(coords, 20)
+    assert s.get_chain().shape == (20, 8, 2)
+    assert s.last_run_stats.chunks >= 3
+    s2 = pickle.loads(pickle.dumps(s))
+    assert s2._max_chunk_steps == 7
+
+
+def test_accurate_timing_opt_in():
+    s = EnsembleSampler(8, 2, normal_log_prob, seed=4)
+    coords = jax.random.normal(jax.random.key(4), (8, 2))
+    s.run_mcmc(coords, 5)
+    assert s.last_run_stats.accurate is False
+    s.run_mcmc(None, 5, accurate_timing=True)
+    assert s.last_run_stats.accurate is True
+    assert s.last_run_stats.walltime_s > 0.0
+    assert s.get_chain().shape == (10, 8, 2)
