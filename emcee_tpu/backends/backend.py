@@ -58,6 +58,32 @@ def _check_blob_consistency(iteration, has_blobs, blobs):
         raise ValueError("inconsistent use of blobs")
 
 
+
+def _pack_declared_blobs(blobs, declared):
+    """Pack per-walker blob leaves into a structured row array when the
+    sampler declared a named ``blobs_dtype`` (reference ``State.blobs``
+    carries the structured array in that case, and the reference test
+    helper iterates ``last.blobs.dtype.names``)."""
+    if blobs is None or declared is None:
+        return blobs
+    declared = np.dtype(declared)
+    if declared.names is None:
+        return blobs
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(blobs)]
+    if len(leaves) != len(declared.names):
+        return blobs
+    dtype = np.dtype(
+        [
+            (name, declared[name].base, leaf.shape[1:])
+            for name, leaf in zip(declared.names, leaves)
+        ]
+    )
+    out = np.empty(leaves[0].shape[0], dtype=dtype)
+    for name, leaf in zip(declared.names, leaves):
+        out[name] = leaf
+    return out
+
+
 def _wrap_key(data):
     if data is None:
         return None
@@ -70,6 +96,14 @@ class Backend:
     def __init__(self, dtype=None):
         self.initialized = False
         self.dtype = dtype
+
+    # Context-manager protocol (reference ``backend.py:233-237``): the
+    # reference's tests and user code do ``with backend() as be:``.
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exception_type, exception_value, traceback):
+        pass
 
     def reset(self, nwalkers, ndim):
         """Clear the state of the chain and empty the backend."""
@@ -247,11 +281,14 @@ class Backend:
         blobs = None
         if self.has_blobs:
             blobs = jax.tree_util.tree_map(lambda b: b[it - 1], self.blobs)
+            blobs = _pack_declared_blobs(
+                blobs, getattr(self, "blobs_dtype", None)
+            )
         return State(
             coords=self.chain[it - 1],
             log_prob=self.log_prob[it - 1],
             blobs=blobs,
-            random_state=_wrap_key(self.random_state),
+            random_state=self.random_state,
         )
 
     def get_autocorr_time(self, discard=0, thin=1, **kwargs):

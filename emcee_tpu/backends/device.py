@@ -39,6 +39,7 @@ from .backend import (
     _check_blob_consistency,
     _key_data,
     _wrap_key,
+    _pack_declared_blobs,
 )
 
 __all__ = ["DeviceBackend"]
@@ -238,11 +239,19 @@ class DeviceBackend(_DeviceChunkStore, Backend):
         last_blobs = None
         if blobs is not None:
             last_blobs = jax.tree_util.tree_map(lambda b: b[-1], blobs)
+            declared = getattr(self, "blobs_dtype", None)
+            if declared is not None and np.dtype(declared).names:
+                last_blobs = _pack_declared_blobs(
+                    jax.tree_util.tree_map(
+                        np.asarray, jax.device_get(last_blobs)
+                    ),
+                    declared,
+                )
         return State(
             coords=coords[-1],
             log_prob=log_prob[-1],
             blobs=last_blobs,
-            random_state=_wrap_key(self.random_state),
+            random_state=self.random_state,
         )
 
     # -- interop ----------------------------------------------------------

@@ -45,7 +45,33 @@ try:
 except ImportError:
     h5py = None
 
-__all__ = ["HDFBackend", "TempHDFBackend"]
+__all__ = [
+    "HDFBackend",
+    "TempHDFBackend",
+    "does_hdf5_support_longdouble",
+]
+
+
+def does_hdf5_support_longdouble():
+    """Whether this platform's HDF5 round-trips ``np.longdouble``
+    (reference ``backends/hdf.py:22-38``): some builds silently narrow
+    float128/float80 to float64 on write, which the longdouble storage
+    tests must xfail on."""
+    if h5py is None:
+        return False
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".h5", prefix="emcee-tpu-ldprobe")
+    os.close(fd)
+    try:
+        probe = np.arange(2, dtype=np.longdouble)
+        with h5py.File(path, "w") as f:
+            f.create_dataset("probe", data=probe)
+        with h5py.File(path, "r") as f:
+            back = f["probe"][...]
+        return back.dtype == np.longdouble
+    finally:
+        os.remove(path)
 
 
 def _flatten_blobs(blobs):
@@ -399,18 +425,28 @@ class HDFBackend(Backend):
             blobs = None
             if g.attrs["has_blobs"]:
                 row = g["blobs"][it - 1]
-                kind = g.attrs.get("blobs_kind", "leaf")
-                if kind == "leaf" or row.dtype.names is None:
+                declared = getattr(self, "blobs_dtype", None)
+                if (
+                    declared is not None
+                    and np.dtype(declared).names
+                    and row.dtype.names is not None
+                ):
+                    # Declared named blobs: the reference carries the
+                    # structured record array on the state.
                     blobs = np.asarray(row)
                 else:
-                    blobs = _unpack_records(
-                        row, kind, list(g.attrs["blobs_fields"])
-                    )
+                    kind = g.attrs.get("blobs_kind", "leaf")
+                    if kind == "leaf" or row.dtype.names is None:
+                        blobs = np.asarray(row)
+                    else:
+                        blobs = _unpack_records(
+                            row, kind, list(g.attrs["blobs_fields"])
+                        )
             return State(
                 coords=np.asarray(g["chain"][it - 1]),
                 log_prob=np.asarray(g["log_prob"][it - 1]),
                 blobs=blobs,
-                random_state=_wrap_key(self.random_state),
+                random_state=self.random_state,
             )
 
 

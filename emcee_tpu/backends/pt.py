@@ -213,7 +213,7 @@ class PTBackend:
             coords=self.chain[it - 1],
             log_like=self.log_like[it - 1],
             log_prior=self.log_prior[it - 1],
-            random_state=_wrap_key(self.random_state),
+            random_state=self.random_state,
             blobs=self._last_blobs(),
         )
 
@@ -341,7 +341,7 @@ class PTDeviceBackend(_DeviceChunkStore, PTBackend):
             coords=coords[-1],
             log_like=ll[-1],
             log_prior=lpr[-1],
-            random_state=_wrap_key(self.random_state),
+            random_state=self.random_state,
             blobs=last_blobs,
         )
 
@@ -674,6 +674,6 @@ class PTHDFBackend(PTBackend):
                 coords=np.asarray(g["chain"][it - 1]),
                 log_like=np.asarray(g["log_like"][it - 1]),
                 log_prior=np.asarray(g["log_prior"][it - 1]),
-                random_state=_wrap_key(self.random_state),
+                random_state=self.random_state,
                 blobs=blobs,
             )

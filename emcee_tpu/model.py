@@ -190,7 +190,7 @@ def _normalize_blob_spec(spec):
     return out
 
 
-def canonicalize_output(out):
+def canonicalize_output(out, reference_layout=False, lead_ndim=0):
     """Split a log-prob return value into ``(log_prob, blobs)``.
 
     The reference peels blobs from per-walker tuple returns with dynamic
@@ -198,6 +198,23 @@ def canonicalize_output(out):
     be static: a bare array is a log-prob with no blobs; a tuple/list with
     more than one element is ``(log_prob, *blobs)`` where a single extra
     element becomes the blob itself and several become a tuple-blob.
+
+    With ``reference_layout=True`` (EnsembleSampler default when no
+    ``blobs_dtype`` is declared) the blob additionally follows the
+    reference's array-packing semantics (``ensemble.py:514-546``):
+
+    * several extra returns whose values share a shape and promote to a
+      common dtype are stacked into ONE array with a new axis (the
+      reference's ``np.array(list_of_tuples)``), so
+      ``get_blobs()[..., k]`` indexing works;
+    * size-1 axes of a single array blob are squeezed (the reference's
+      "deal with single blobs properly" squeeze).
+
+    Non-uniform tuples and dict blobs keep the native pytree layout (the
+    reference would fall back to object arrays there, which have no
+    traced equivalent — the host-fallback path provides those).
+    ``lead_ndim`` is the number of leading batch axes to protect from
+    the squeeze (0 per-walker under vmap, 1 for vectorized functions).
     """
     if isinstance(out, (tuple, list)):
         if len(out) == 0:
@@ -205,9 +222,48 @@ def canonicalize_output(out):
         if len(out) == 1:
             return out[0], None
         if len(out) == 2:
-            return out[0], out[1]
+            blob = out[1]
+            if reference_layout and not isinstance(
+                blob, (tuple, list, dict)
+            ):
+                blob = _reference_squeeze(jnp.asarray(blob), lead_ndim)
+            return out[0], blob
+        if reference_layout and not any(
+            isinstance(b, (tuple, list, dict)) for b in out[1:]
+        ):
+            packed = _try_pack_uniform(out[1:], lead_ndim)
+            if packed is not None:
+                return out[0], packed
         return out[0], tuple(out[1:])
     return out, None
+
+
+def _reference_squeeze(blob, lead_ndim):
+    """Drop size-1 axes beyond the protected leading batch axes
+    (reference ``ensemble.py:541-546``)."""
+    axes = tuple(
+        i
+        for i in range(lead_ndim, blob.ndim)
+        if blob.shape[i] == 1
+    )
+    return jnp.squeeze(blob, axes) if axes else blob
+
+
+def _try_pack_uniform(extras, lead_ndim):
+    """Stack several blob returns into one array when the reference's
+    ``np.array(list_of_tuples)`` would produce a regular (non-object)
+    array: identical shapes and a common promotable dtype."""
+    arrs = [jnp.asarray(b) for b in extras]
+    if len({a.shape for a in arrs}) != 1:
+        return None
+    try:
+        dt = jnp.result_type(*arrs)
+    except Exception:
+        return None
+    stacked = jnp.stack(
+        [a.astype(dt) for a in arrs], axis=lead_ndim
+    )
+    return _reference_squeeze(stacked, lead_ndim)
 
 
 def wrap_log_prob_fn(
@@ -221,6 +277,7 @@ def wrap_log_prob_fn(
     pool: Any = None,
     callback_blobs: Any = None,
     nwalkers: Optional[int] = None,
+    reference_blob_layout: bool = False,
 ) -> Callable:
     """Build the canonical batched log-prob callable.
 
@@ -258,12 +315,31 @@ def wrap_log_prob_fn(
     if host_callback:
         import numpy as np
 
-        infer_pending = (
-            isinstance(callback_blobs, str) and callback_blobs == "auto"
+        from .hostblobs import OBJECT_BLOBS, HostBlobStore
+
+        # "auto": probe once with real coordinates, prefer declared
+        # numeric leaves, fall back to the object store for
+        # string/object/ragged blobs.  "auto-reference": probe, but any
+        # blobs at all go to the object store with the reference's
+        # exact array semantics (used by the sampler's automatic
+        # host-fallback for untraceable functions).
+        infer_pending = isinstance(callback_blobs, str) and (
+            callback_blobs in ("auto", "auto-reference")
         )
+        infer_prefer_object = callback_blobs == "auto-reference"
+        object_mode = callback_blobs == OBJECT_BLOBS
+        blob_store = HostBlobStore() if object_mode else None
         blob_leaves = (
-            None if infer_pending else _normalize_blob_spec(callback_blobs)
+            None
+            if (infer_pending or object_mode)
+            else _normalize_blob_spec(callback_blobs)
         )
+        if object_mode and vectorize:
+            raise NotImplementedError(
+                "object blobs require per-walker host evaluation; "
+                "vectorize=True is not supported with "
+                "host_callback_blobs='__object__'"
+            )
         call = _FunctionWrapper(fn, args, kwargs)
         owned_executor = None
         if pool is None or vectorize:
@@ -294,9 +370,37 @@ def wrap_log_prob_fn(
                     f"host_callback_blobs declares {len(blob_leaves)}"
                 )
 
+        def _scalar_lp(r):
+            # Reference ``_scalar`` tolerance (``ensemble.py:703-713``):
+            # accept floats, 0-d arrays, and length-1 arrays.
+            v = r[0] if isinstance(r, (tuple, list)) and len(r) > 1 else r
+            if isinstance(v, (tuple, list)):
+                v = v[0]
+            try:
+                return float(np.asarray(v).item())
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    "log_prob_fn should return scalar"
+                ) from e
+
         def host_fn(c):
             c = np.asarray(c)
             nw = c.shape[0]
+            if object_mode:
+                if map_fn is not None:
+                    results = list(map_fn(call, c))
+                else:
+                    results = [call(x) for x in c]
+                lp = np.asarray(
+                    [_scalar_lp(r) for r in results], dtype=c.dtype
+                ).reshape(nw)
+                entries = [
+                    tuple(r[1:])
+                    if isinstance(r, (tuple, list)) and len(r) > 1
+                    else ()
+                    for r in results
+                ]
+                return lp, blob_store.alloc(entries)
             if vectorize:
                 res = call(c)
                 if blob_leaves is None:
@@ -334,36 +438,68 @@ def wrap_log_prob_fn(
                     leaf[i] = val
             return (lp,) + leaves
 
+        def _numeric_leaf_spec(extras, lead):
+            """Classify probe extras as fixed-shape numeric leaves, or
+            None when any is string/object/ragged (→ object store)."""
+            specs = []
+            for v in extras:
+                try:
+                    a = np.asarray(v)
+                except (ValueError, TypeError):
+                    return None
+                if a.dtype.kind not in "bifuc":
+                    return None
+                specs.append(
+                    (
+                        tuple(a.shape[lead:]),
+                        np.dtype(
+                            jax.dtypes.canonicalize_dtype(a.dtype)
+                        ),
+                    )
+                )
+            return specs
+
         def infer_blobs(example_coords):
             """Probe the host function once (with real coordinates, before
             the first trace) and adopt whatever blob structure it returns
             — the traced analogue of the reference's runtime blob-dtype
             inference (``ensemble.py:498-547``).  Returns the concrete
-            spec (``[(shape, dtype), ...]`` or None) for persistence."""
-            nonlocal blob_leaves, infer_pending
+            spec for persistence: ``[(shape, dtype), ...]`` numeric
+            leaves, the ``OBJECT_BLOBS`` sentinel (host-side object
+            store — always under ``"auto-reference"``, and under
+            ``"auto"`` when the blobs are string/object/ragged), or
+            None."""
+            nonlocal blob_leaves, infer_pending, object_mode, blob_store
             if not infer_pending:
-                return blob_leaves
+                return (
+                    OBJECT_BLOBS if object_mode else blob_leaves
+                )
             example_coords = np.asarray(example_coords)
             res = call(
                 example_coords if vectorize else example_coords[0]
             )
             if isinstance(res, (tuple, list)) and len(res) > 1:
                 lead = 1 if vectorize else 0
-                blob_leaves = [
-                    (
-                        tuple(np.shape(v)[lead:]),
-                        np.dtype(
-                            jax.dtypes.canonicalize_dtype(
-                                np.asarray(v).dtype
-                            )
-                        ),
-                    )
-                    for v in res[1:]
-                ]
+                specs = (
+                    None
+                    if infer_prefer_object
+                    else _numeric_leaf_spec(res[1:], lead)
+                )
+                if specs is None:
+                    if vectorize:
+                        raise NotImplementedError(
+                            "object blobs require per-walker host "
+                            "evaluation (vectorize=False)"
+                        )
+                    object_mode = True
+                    blob_store = HostBlobStore()
+                    blob_leaves = None
+                else:
+                    blob_leaves = specs
             else:
                 blob_leaves = None
             infer_pending = False
-            return blob_leaves
+            return OBJECT_BLOBS if object_mode else blob_leaves
 
         def batched(coords):
             if infer_pending:
@@ -375,6 +511,17 @@ def wrap_log_prob_fn(
                 )
             nw = coords.shape[0]
             lp_struct = jax.ShapeDtypeStruct((nw,), coords.dtype)
+            if object_mode:
+                out = jax.pure_callback(
+                    host_fn,
+                    (
+                        lp_struct,
+                        jax.ShapeDtypeStruct((nw,), np.int32),
+                    ),
+                    coords,
+                    vmap_method="sequential",
+                )
+                return out[0], out[1]
             if blob_leaves is None:
                 lp = jax.pure_callback(
                     host_fn, lp_struct, coords, vmap_method="sequential"
@@ -395,6 +542,9 @@ def wrap_log_prob_fn(
         # clear error without re-plumbing a flag.
         batched._no_grad = True
         batched._infer_blobs = infer_blobs
+        # Live accessor (object mode can be adopted by the "auto" probe
+        # after this wrapper is built).
+        batched._blob_state = lambda: (object_mode, blob_store)
         if owned_executor is not None:
             import weakref
 
@@ -408,14 +558,18 @@ def wrap_log_prob_fn(
 
         def batched(coords):
             out = fn(coords, *args, **kwargs)
-            lp, blobs = canonicalize_output(out)
+            lp, blobs = canonicalize_output(
+                out, reference_blob_layout, lead_ndim=1
+            )
             return jnp.reshape(lp, (coords.shape[0],)), blobs
 
         return batched
 
     def single(x):
         out = fn(x, *args, **kwargs)
-        lp, blobs = canonicalize_output(out)
+        lp, blobs = canonicalize_output(
+            out, reference_blob_layout, lead_ndim=0
+        )
         return jnp.reshape(lp, ()), blobs
 
     def batched(coords):

@@ -50,7 +50,7 @@ from ..driver import (
 from ..model import Model, wrap_log_prob_fn
 from ..ops import autocorr
 from ..pbar import get_progress_bar
-from ..state import State, walkers_independent
+from ..state import State, coerce_random_state, walkers_independent
 from ..utils import defer_interrupts
 
 __all__ = ["PTSampler", "PTState", "default_beta_ladder"]
@@ -910,9 +910,10 @@ class PTSampler:
                         f"Initial state for temperature {t} has a large "
                         "condition number"
                     )
-        if state.random_state is None:
-            self._key, sub = jax.random.split(self._key)
-            state = state._replace(random_state=sub)
+        key = coerce_random_state(state.random_state)
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        state = state._replace(random_state=key)
         if self._like_settings.get("callback_blobs") == "auto":
             # Resolve the blob structure with one host-side probe before
             # anything traces; persist the concrete spec for rebuilds.
@@ -921,6 +922,12 @@ class PTSampler:
                     np.asarray(state.coords).reshape(-1, self.ndim)
                 )
             )
+            if self._like_settings["callback_blobs"] == "__object__":
+                raise NotImplementedError(
+                    "string/object/ragged blobs are not supported on "
+                    "PTSampler (swaps would have to permute host-side "
+                    "state); declare numeric host_callback_blobs"
+                )
         need_eval = state.log_like is None
         if not need_eval and state.blobs is not None:
             # Resumed blob-ful state + a likelihood that no longer

@@ -13,6 +13,7 @@ logger = logging.getLogger(__name__)
 
 try:
     import tqdm
+    import tqdm.auto
 except ImportError:
     tqdm = None
 
@@ -48,5 +49,10 @@ def get_progress_bar(display, total, **kwargs):
         )
         return _NoOpPBar()
     if display is True:
-        return tqdm.tqdm(total=total, **kwargs)
-    return getattr(tqdm, "tqdm_" + display)(total=total, **kwargs)
+        # tqdm.auto picks the notebook widget under Jupyter, the async
+        # terminal bar otherwise (reference pbar.py:53-57).
+        return tqdm.auto.tqdm(total=total, **kwargs)
+    import importlib
+
+    sub = importlib.import_module(f"tqdm.{display}")
+    return sub.tqdm(total=total, **kwargs)

@@ -57,7 +57,12 @@ from .model import Model, wrap_log_prob_fn
 from .ops import autocorr
 from .utils import defer_interrupts
 from .pbar import get_progress_bar
-from .state import State, as_state, walkers_independent
+from .state import (
+    State,
+    as_state,
+    coerce_random_state,
+    walkers_independent,
+)
 
 __all__ = ["EnsembleSampler"]
 
@@ -274,6 +279,44 @@ class EnsembleSampler:
         # precision — only the *stored* copies are compressed.
         self._io_dtype = parse_io_dtype(io_dtype)
 
+        # Named-parameter validation (reference ``ensemble.py:174-214``;
+        # plain asserts for exception-type parity).  The canonical form
+        # kept on the sampler is the dict name -> index / index-list.
+        self.params_are_named = parameter_names is not None
+        if self.params_are_named:
+            assert isinstance(parameter_names, (list, dict))
+            assert not vectorize, (
+                "named parameters with vectorization unsupported for now"
+            )
+            seen = set()
+            uniq = [
+                n
+                for n in parameter_names
+                if not (n in seen or seen.add(n))
+            ]
+            assert len(uniq) == len(parameter_names), (
+                f"duplicate parameters: {seen}"
+            )
+            if isinstance(parameter_names, list):
+                assert len(parameter_names) == self.ndim, (
+                    "name all parameters or set `parameter_names` to "
+                    "`None`"
+                )
+                parameter_names = {
+                    name: i for i, name in enumerate(parameter_names)
+                }
+            assert len(parameter_names) <= self.ndim, "too many names"
+            flat_idx = set()
+            for v in parameter_names.values():
+                flat_idx.update(v if isinstance(v, list) else [v])
+            assert flat_idx == set(range(self.ndim)), (
+                f"not all values appear -- set should be 0 to "
+                f"{self.ndim - 1}"
+            )
+            self.parameter_names = parameter_names
+        else:
+            self.parameter_names = None
+
         # Canonical batched log-prob (settings kept for re-wrapping after
         # unpickling — the wrapped closure itself is not picklable).
         self.log_prob_fn = log_prob_fn
@@ -284,10 +327,42 @@ class EnsembleSampler:
             parameter_names=parameter_names,
             host_callback=host_callback,
             callback_blobs=host_callback_blobs,
+            # Without a declared blobs_dtype, traced blobs follow the
+            # reference's array-packing semantics (uniform multi-blob
+            # returns stack into one array; size-1 axes squeeze —
+            # ensemble.py:514-546).  A declared dtype keeps one pytree
+            # leaf per field so the named-field packing works.
+            reference_blob_layout=(blobs_dtype is None),
         )
         self._compute_log_prob = wrap_log_prob_fn(
             log_prob_fn, pool=self.pool, **self._lp_settings
         )
+        self._evaluation_mode = (
+            "host-callback" if host_callback else "traced"
+        )
+        if not host_callback and mesh is None:
+            # Traceability probe (abstract — no compile, pure_callbacks
+            # not invoked).  Reference-style functions with
+            # data-dependent Python branches, float()/bool() casts,
+            # numpy-only ops, or string/object blobs cannot trace; fall
+            # back to per-walker host evaluation (the reference's own
+            # execution model, ensemble.py:486-547) with full dynamic /
+            # object blob support instead of failing at first run.
+            # Under a mesh the traced path is required — the original
+            # trace error surfaces at first use there.
+            probe = jax.ShapeDtypeStruct(
+                (self.nwalkers, self.ndim),
+                jax.dtypes.canonicalize_dtype(jnp.float64),
+            )
+            try:
+                jax.eval_shape(self._compute_log_prob, probe)
+            except Exception:
+                self._lp_settings["host_callback"] = True
+                self._lp_settings["callback_blobs"] = "auto-reference"
+                self._compute_log_prob = wrap_log_prob_fn(
+                    self.log_prob_fn, pool=self.pool, **self._lp_settings
+                )
+                self._evaluation_mode = "host-fallback"
         self._model = self._build_model()
 
         # Resume from a non-empty backend (reference ensemble.py:139-162).
@@ -502,6 +577,31 @@ class EnsembleSampler:
         """
         self.backend.reset(self.nwalkers, self.ndim)
 
+    def _object_blob_mode(self):
+        """Whether blobs live in the host-side object store (untraceable
+        log-prob fallback, or ``host_callback_blobs='__object__'``)."""
+        bs = getattr(self._compute_log_prob, "_blob_state", None)
+        return bool(bs is not None and bs()[0])
+
+    def _blob_store(self):
+        bs = getattr(self._compute_log_prob, "_blob_state", None)
+        return None if bs is None else bs()[1]
+
+    def _resolve_object_blobs(self, blobs):
+        """Translate device-side int32 blob handles into the reference's
+        blob arrays (object dtype for ragged/string blobs)."""
+        ids = np.asarray(jax.device_get(blobs))
+        return self._blob_store().resolve(ids, self.blobs_dtype)
+
+    def _public_state(self, state):
+        """The state handed to users: in object-blob mode, swap the
+        internal handles for the resolved per-walker blob values."""
+        if state.blobs is None or not self._object_blob_mode():
+            return state
+        return state._replace(
+            blobs=self._resolve_object_blobs(state.blobs)
+        )
+
     def compute_log_prob(self, coords):
         """Evaluate the batched log-prob with host-side NaN/inf guards.
 
@@ -510,8 +610,26 @@ class EnsembleSampler:
         the Metropolis compare instead.  All guards fuse into ONE jitted
         program: separate eager ops each pay a full remote-compile round
         trip on the TPU runtime (~60 s apiece cold), which dominated
-        first-run latency.
+        first-run latency.  In object-blob mode the returned blobs are
+        the resolved per-walker values, not the internal handles.
         """
+        log_prob, blobs = self._compute_eval(coords)
+        if blobs is not None and self._object_blob_mode():
+            blobs = self._resolve_object_blobs(blobs)
+        return log_prob, blobs
+
+    def _compute_eval(self, coords):
+        """compute_log_prob without the object-handle resolution (the
+        chunked chain step carries raw handles through the scan)."""
+        if self._lp_settings.get("callback_blobs") in (
+            "auto",
+            "auto-reference",
+        ):
+            # Direct compute_log_prob() use before any run: resolve the
+            # pending host-side blob probe with these concrete coords.
+            self._lp_settings["callback_blobs"] = (
+                self._compute_log_prob._infer_blobs(np.asarray(coords))
+            )
         p = jnp.asarray(coords)
         guard = self._run_chunk_cache.get("_guard")
         if guard is None:
@@ -806,10 +924,18 @@ class EnsembleSampler:
                 "Make sure that your walkers are linearly independent for "
                 "the best performance"
             )
-        if state.random_state is None:
-            self._key, sub = jax.random.split(self._key)
-            state = state._replace(random_state=sub)
-        if self._lp_settings.get("callback_blobs") == "auto":
+        # Backends hand out raw key data (indexable, reference-style);
+        # reference users may pass a numpy RandomState tuple, which has
+        # no JAX stream — fall back to the sampler's own key there
+        # (documented RNG divergence).
+        key = coerce_random_state(state.random_state)
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        state = state._replace(random_state=key)
+        if self._lp_settings.get("callback_blobs") in (
+            "auto",
+            "auto-reference",
+        ):
             # One host-side probe with the real initial coordinates
             # resolves the blob structure before anything traces; the
             # concrete spec is persisted so pickled/rebuilt samplers
@@ -819,9 +945,49 @@ class EnsembleSampler:
                     np.asarray(state.coords)
                 )
             )
+        if self._object_blob_mode():
+            if self.mesh is not None:
+                raise ValueError(
+                    "object blobs (host-side blob store) cannot run "
+                    "under a device mesh"
+                )
+            if getattr(self.backend, "wants_device_arrays", False):
+                raise ValueError(
+                    "DeviceBackend keeps the chain in HBM and cannot "
+                    "store host-side object blobs; use the in-memory "
+                    "Backend"
+                )
+            if state.blobs is not None:
+                # Resumed/foreign states carry resolved blob VALUES (or
+                # handles from a dead store, e.g. after unpickling);
+                # only live handles from THIS store are usable inside
+                # the chunk — otherwise drop and re-evaluate.
+                ids = np.asarray(jax.device_get(state.blobs))
+                if ids.dtype != np.int32 or not self._blob_store(
+                ).has_all(ids):
+                    state = state._replace(log_prob=None, blobs=None)
+        elif (
+            state.blobs is not None
+            and isinstance(state.blobs, np.ndarray)
+            and (
+                state.blobs.dtype.names is not None
+                or state.blobs.dtype == np.dtype("object")
+            )
+        ):
+            # get_last_sample hands users structured record rows
+            # (declared blobs_dtype); those are storage views, not
+            # traceable leaves — drop and recompute from coords.
+            state = state._replace(blobs=None)
         if state.log_prob is None:
-            log_prob, blobs = self.compute_log_prob(state.coords)
+            log_prob, blobs = self._compute_eval(state.coords)
             state = state._replace(log_prob=log_prob, blobs=blobs)
+            # Stale-trace guard (reference ``tests/unit/test_blobs.py``
+            # blob-mismatch case): a Python-side change to the log-prob
+            # function does NOT invalidate jit's cached trace, so a
+            # function whose blob structure changed would silently keep
+            # returning the old structure.  Re-trace abstractly (cheap,
+            # no compile; pure_callbacks are not invoked) and compare.
+            self._check_blob_struct_fresh(state.blobs, state.coords)
         else:
             if np.shape(state.log_prob) != (self.nwalkers,):
                 raise ValueError("incompatible input dimensions")
@@ -833,7 +999,7 @@ class EnsembleSampler:
                     self._compute_log_prob, state.coords
                 )
                 if blobs_struct is not None:
-                    log_prob, blobs = self.compute_log_prob(state.coords)
+                    log_prob, blobs = self._compute_eval(state.coords)
                     state = state._replace(log_prob=log_prob, blobs=blobs)
             else:
                 # The reverse mismatch: a resumed blob-ful state with a
@@ -850,6 +1016,36 @@ class EnsembleSampler:
                     )
         return self._device_put_state(state)
 
+    def _check_blob_struct_fresh(self, blobs, coords):
+        """Raise if the live Python log-prob's blob structure no longer
+        matches what the cached trace produced (jit caches the first
+        trace; shape changes after it are otherwise silent).
+        ``jax.eval_shape`` caches traces by function identity and would
+        return the stale structure; a throwaway lambda forces a genuine
+        re-trace (its cache entry dies with it)."""
+        wrapped = self._compute_log_prob
+        _, fresh = jax.eval_shape(
+            lambda c: wrapped(c),
+            jax.ShapeDtypeStruct(np.shape(coords), coords.dtype),
+        )
+
+        def sig(tree):
+            if tree is None:
+                return None
+            return [
+                (tuple(np.shape(leaf)), np.dtype(leaf.dtype).name)
+                for leaf in jax.tree_util.tree_leaves(tree)
+            ]
+
+        if sig(blobs) != sig(fresh):
+            raise ValueError(
+                "inconsistent use of blobs: the log-prob function's "
+                "blob structure changed after this sampler first traced "
+                f"it (traced {sig(blobs)}, the function now returns "
+                f"{sig(fresh)}); jit caches the first trace — construct "
+                "a fresh sampler for the new structure"
+            )
+
     def _blobs_struct(self, state):
         if state.blobs is None:
             return None
@@ -863,6 +1059,11 @@ class EnsembleSampler:
         return _BlobStruct(treedef, shapes, state.blobs)
 
     def _grow_blobs_template(self, blobs):
+        if blobs is not None and self._object_blob_mode():
+            # The backend stores resolved blob VALUES; hand it a
+            # resolved per-walker row so it allocates the right
+            # (possibly object-dtype) storage.
+            return self._resolve_object_blobs(blobs)
         return grow_blobs_template(blobs, self._io_dtype)
 
     def _cast_io(self, x):
@@ -896,6 +1097,10 @@ class EnsembleSampler:
         # overrides both.
         if self._max_chunk_steps is not None:
             cap = self._max_chunk_steps
+        elif self._object_blob_mode():
+            # Per-proposal host callbacks dominate anyway; short chunks
+            # bound the host blob table between prunes.
+            cap = 256
         elif not store or getattr(
             self.backend, "wants_device_arrays", False
         ):
@@ -964,7 +1169,7 @@ class EnsembleSampler:
                     self._previous_state = state
                 pbar.update(thin_by)
                 i += 1
-                yield state
+                yield self._public_state(state)
 
     def run_mcmc(self, initial_state, nsteps, **kwargs):
         """Run ``nsteps`` kept steps and return the final :class:`State`.
@@ -999,6 +1204,14 @@ class EnsembleSampler:
         nsteps = int(nsteps)
 
         state = self._prepare_state(initial_state, skip_check)
+        if nsteps == 0:
+            # Reference semantics (``ensemble.py:449-456``): zero
+            # iterations produce no results — the resume anchor is
+            # cleared (run_mcmc(None, n) afterwards raises) and None is
+            # returned, exactly as the reference's empty generator loop
+            # leaves ``results = None``.
+            self._previous_state = None
+            return None
         # Move carries (e.g. tuned proposal scales, sequential dim
         # counters) persist across calls like the reference's stateful
         # move objects; reset() keeps them (reference move-object
@@ -1064,6 +1277,19 @@ class EnsembleSampler:
                         with defer_interrupts():
                             self._previous_state = state
                             self._move_carries = carries
+                        if (
+                            state.blobs is not None
+                            and self._object_blob_mode()
+                        ):
+                            # Nothing stores the handles; only the live
+                            # ensemble's survive each chunk.
+                            ids = np.asarray(
+                                jax.device_get(state.blobs)
+                            )
+                            self._blob_store().prune(
+                                keep_ids=ids,
+                                below=self._blob_store()._next,
+                            )
                     stats.chunks += 1
                     stats.chunk_times.append(time.perf_counter() - t_chunk)
                     pbar.update(n * thin_by)
@@ -1095,9 +1321,33 @@ class EnsembleSampler:
             stats.accurate = True
         stats.walltime_s = time.perf_counter() - t_run
         self.last_run_stats = stats
-        return state
+        return self._public_state(state)
 
     def _save_chunk(self, out, key):
+        if self._object_blob_mode() and out[2] is not None:
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "object blobs are per-process host state; "
+                    "multi-host runs need declared numeric blobs"
+                )
+            coords, log_prob, ids, accepted = out
+            ids = np.asarray(jax.device_get(ids))
+            store = self._blob_store()
+            blobs = store.resolve(ids, self.blobs_dtype)
+            # Handles above this chunk belong to later (pipelined)
+            # chunks; below it, only the live ensemble's survive.
+            store.prune(keep_ids=ids[-1], below=int(ids.max()) + 1)
+            coords, log_prob, accepted = jax.device_get(
+                (coords, log_prob, accepted)
+            )
+            self.backend.save_chunk(
+                np.asarray(coords),
+                np.asarray(log_prob),
+                blobs,
+                np.asarray(accepted),
+                key,
+            )
+            return
         if jax.process_count() > 1:
             # Multi-host: chunk outputs are sharded across hosts; gather
             # to every process, then only process 0 owns the backend

@@ -197,6 +197,34 @@ def as_state(initial_state, dtype=None) -> State:
     return State(coords=coords)
 
 
+def coerce_random_state(rs):
+    """Coerce a ``State.random_state`` value to a typed JAX PRNG key.
+
+    Returns the key, or ``None`` when the value carries no usable JAX
+    key: backends hand chain consumers *raw key data* (an indexable
+    uint32 word array — reference code does ``state.random_state[1:]``
+    on its MT19937 tuples, which a 0-d typed key would break), and
+    reference users may feed an actual ``np.random`` state tuple, which
+    has no JAX equivalent (the RNG-stream divergence is documented in
+    docs/migrating.md) — callers fall back to their own key stream.
+    """
+    if rs is None:
+        return None
+    if isinstance(rs, jax.Array) and jnp.issubdtype(
+        rs.dtype, jax.dtypes.prng_key
+    ):
+        return rs
+    if isinstance(rs, tuple) and rs and isinstance(rs[0], str):
+        return None  # numpy RandomState tuple — not convertible
+    try:
+        arr = np.asarray(rs)
+    except Exception:
+        return None
+    if arr.dtype == np.uint32 and arr.ndim == 1 and arr.size in (2, 4):
+        return jax.random.wrap_key_data(arr)
+    return None
+
+
 def walkers_independent(coords) -> bool:
     """Condition-number check on the initial ensemble.
 
@@ -206,7 +234,13 @@ def walkers_independent(coords) -> bool:
     moves cannot explore.  Runs on host with float64 for the same dynamic
     range as the reference implementation.
     """
-    C = np.asarray(jax.device_get(coords), dtype=np.float64)
+    C = np.asarray(jax.device_get(coords))
+    # Keep extended precision when the caller supplies it (the reference
+    # resolves np.longdouble offsets beyond float64's 2^53; integration
+    # test ``test_walkers_independent_randn_offset_longdouble``); widen
+    # everything else to float64 for the centering arithmetic.
+    if C.dtype != np.longdouble:
+        C = C.astype(np.float64)
     if not np.all(np.isfinite(C)):
         return False
     C = C - np.mean(C, axis=0)[None, :]
