@@ -414,6 +414,14 @@ class HDFBackend(Backend):
             return v
 
     def get_last_sample(self) -> State:
+        if not self.initialized:
+            # Also covers an existing-but-empty file (TempHDFBackend
+            # creates the file up front): reading must raise the
+            # reference's AttributeError, not h5py's OSError.
+            raise AttributeError(
+                "you must run the sampler with 'store == True' before "
+                "accessing the results"
+            )
         it = self.iteration
         if it <= 0:
             raise AttributeError(

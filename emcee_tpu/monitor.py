@@ -53,13 +53,11 @@ class ConvergenceMonitor:
             # Second half only: the R-hat gate should judge the
             # stationary segment, not the burn-in transient.  (Skipped
             # until the half-chain is long enough for split R-hat.)
-            # Slice BEFORE converting: with a DeviceBackend chain this
-            # transfers only the judged half instead of materializing
-            # the full HBM-resident chain on the host.  (tau above
-            # stays fully on-device; the rank-based R-hat is host-side
-            # by construction — enabling the gate costs one half-chain
-            # fetch per check.)
-            r = autocorr.rhat(np.asarray(chain[n // 2 :]))
+            # The chain is passed through UNconverted: with a
+            # DeviceBackend, tau above and the rank-normalized R-hat
+            # both run jitted on-device (ops/autocorr._rhat_device) —
+            # only the (n_param,) result crosses to the host.
+            r = np.asarray(autocorr.rhat(chain[n // 2 :]))
             self.rhat_history.append(r)
         if np.any(~np.isfinite(tau)):
             return False

@@ -112,7 +112,8 @@ def _tau_estimates(x, c):
     return _tau_from_f_jit(_walker_mean_acf(x), float(c), n_t)
 
 
-def _tau_geyer(f):
+@jax.jit
+def _tau_geyer_device(f):
     """Geyer (1992) initial-monotone-sequence tau from the
     walker-averaged ACF ``f`` (n_t, n_d) — the Stan / arviz convention.
 
@@ -120,25 +121,32 @@ def _tau_geyer(f):
     reversible chain are positive and decreasing; truncate at the first
     non-positive pair, enforce monotonicity with a running minimum, and
     ``tau = -1 + 2 * sum_k G_k``.
+
+    Runs jitted on whatever device holds ``f`` — with a
+    :class:`DeviceBackend` the chain-sized data never leaves HBM (only
+    the final ``(n_d,)`` tau does, if the caller fetches it).
     """
-    f = np.asarray(f, dtype=np.float64)
     npairs = f.shape[0] // 2
-    if npairs < 1:
-        return np.full(f.shape[1:], np.nan)
     g = f[0 : 2 * npairs : 2] + f[1 : 2 * npairs : 2]
     pos = g > 0.0
-    k_stop = np.where(
-        np.any(~pos, axis=0), np.argmin(pos, axis=0), npairs
+    k_stop = jnp.where(
+        jnp.any(~pos, axis=0), jnp.argmin(pos, axis=0), npairs
     )
-    g_mono = np.minimum.accumulate(g, axis=0)
-    keep = np.arange(npairs)[:, None] < k_stop[None, :]
-    tau = -1.0 + 2.0 * np.sum(np.where(keep, g_mono, 0.0), axis=0)
+    g_mono = jax.lax.cummin(g, axis=0)
+    keep = jnp.arange(npairs)[:, None] < k_stop[None, :]
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(keep, g_mono, 0.0), axis=0)
     # Antithetic chains can push the raw estimate to (or below) zero,
     # which would make ESS negative/infinite downstream; floor at
     # Stan's convention (ESS capped at N * log10(N), i.e.
     # tau >= 1 / log10(N)).
     n_t = f.shape[0]
-    return np.maximum(tau, 1.0 / np.log10(max(float(n_t), 10.0)))
+    return jnp.maximum(tau, 1.0 / np.log10(max(float(n_t), 10.0)))
+
+
+def _tau_geyer(f):
+    if f.shape[0] // 2 < 1:
+        return np.full(f.shape[1:], np.nan)
+    return _tau_geyer_device(f)
 
 
 def integrated_time(x, c=5, tol=50, quiet=False, has_walkers=True,
@@ -208,6 +216,61 @@ def ess(x, c=5, tol=50, quiet=False, has_walkers=True, method="sokal"):
     return n_t * n_w / tau
 
 
+def _psrf_device(x):
+    """Plain PSRF of an (n, m, d) block, traceable."""
+    n = x.shape[0]
+    means = x.mean(axis=0)
+    between = n * means.var(axis=0, ddof=1)
+    within = x.var(axis=0, ddof=1).mean(axis=0)
+    var_hat = (n - 1) / n * within + between / n
+    return jnp.sqrt(var_hat / within)
+
+
+def _avg_ranks_1d(v):
+    """Average (tie-sharing) ranks of a 1-D vector, traceable.
+
+    Equal-value runs share the mean of their ordinal positions —
+    matching ``scipy.stats.rankdata(method="average")``, which the
+    degenerate-ensemble behavior of rank-normalized R-hat depends on
+    (see :func:`_rank_normalize`)."""
+    s = v.shape[0]
+    order = jnp.argsort(v)
+    sv = v[order]
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), bool), sv[1:] != sv[:-1]]
+    )
+    gid = jnp.cumsum(new_group) - 1
+    pos = jnp.arange(1, s + 1, dtype=sv.dtype)
+    gsum = jax.ops.segment_sum(pos, gid, num_segments=s)
+    gcnt = jax.ops.segment_sum(
+        jnp.ones_like(pos), gid, num_segments=s
+    )
+    avg = gsum / jnp.maximum(gcnt, 1)
+    ranks_sorted = avg[gid]
+    return jnp.zeros_like(v).at[order].set(ranks_sorted)
+
+
+@jax.jit
+def _rhat_device(x, folded_median):
+    """Rank-normalized max(bulk, tail) R-hat of an (n, m, d) block,
+    fully on-device (the convergence monitor runs this against a
+    :class:`DeviceBackend` chain without fetching it)."""
+    from jax.scipy.special import ndtri
+
+    n, m, d = x.shape
+
+    def rank_norm(block):
+        flat = block.reshape(n * m, d)
+        ranks = jax.vmap(_avg_ranks_1d, in_axes=1, out_axes=1)(flat)
+        z = ndtri((ranks - 0.375) / (n * m + 0.25))
+        return z.reshape(n, m, d)
+
+    bulk = _psrf_device(rank_norm(x))
+    folded = jnp.abs(x - folded_median)
+    tail = _psrf_device(rank_norm(folded))
+    return jnp.maximum(bulk, tail)
+
+
 def _psrf(x):
     """Plain potential scale reduction factor of an (n, m, d) block."""
     n = x.shape[0]
@@ -275,7 +338,9 @@ def rhat(x, split=True, rank_normalized=True):
     seeded runs.  No counterpart exists in the reference (its only
     diagnostic is ``integrated_time``); this extends the toolkit.
     """
-    x = np.asarray(x, dtype=np.float64)
+    on_device = isinstance(x, jax.Array)
+    if not on_device:
+        x = np.asarray(x, dtype=np.float64)
     if x.ndim == 2:
         x = x[:, :, None]
     if x.ndim != 3:
@@ -285,10 +350,19 @@ def rhat(x, split=True, rank_normalized=True):
         h = n // 2
         if h < 2:
             raise ValueError("need at least 4 steps for split R-hat")
-        x = np.concatenate([x[:h], x[n - h :]], axis=1)
+        xp = jnp if on_device else np
+        x = xp.concatenate([x[:h], x[n - h :]], axis=1)
         n = h
     if x.shape[1] < 2:
         raise ValueError("R-hat needs at least 2 chains")
+    if on_device:
+        # Fully on-device (jitted): with a DeviceBackend chain nothing
+        # chain-sized crosses to the host — only the (n_param,) result
+        # if the caller fetches it.
+        if not rank_normalized:
+            return jax.jit(_psrf_device)(x)
+        med = jnp.median(x.reshape(-1, x.shape[-1]), axis=0)
+        return _rhat_device(x, med)
     if not rank_normalized:
         return _psrf(x)
     bulk = _psrf(_rank_normalize(x))

@@ -895,6 +895,19 @@ class EnsembleSampler:
     # ------------------------------------------------------------------
     def _prepare_state(self, initial_state, skip_initial_state_check):
         state = as_state(initial_state)
+        if (
+            isinstance(state.coords, np.ndarray)
+            and state.coords.dtype == np.longdouble
+        ):
+            # XLA has no extended-precision float: sample in float64
+            # (reference issue #312's "doesn't crash" contract; the
+            # storage-side longdouble path is backend-only).
+            state = state._replace(
+                coords=state.coords.astype(np.float64),
+                log_prob=None
+                if state.log_prob is None
+                else np.asarray(state.log_prob, dtype=np.float64),
+            )
         if state.coords.shape != (self.nwalkers, self.ndim):
             raise ValueError(
                 f"incompatible input dimensions {state.coords.shape}"

@@ -193,6 +193,12 @@ def as_state(initial_state, dtype=None) -> State:
                 f"{len(initial_state)} into a State"
             )
         return State(**dict(zip(names, initial_state)))
+    arr = np.asarray(initial_state)
+    if arr.dtype == np.longdouble and dtype is None:
+        # No XLA extended-precision type; keep the numpy array (callers
+        # downcast to float64 at device put — reference issue #312's
+        # "longdouble doesn't crash" contract).
+        return State(coords=arr)
     coords = jnp.asarray(initial_state, dtype=dtype)
     return State(coords=coords)
 

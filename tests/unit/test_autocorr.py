@@ -1,9 +1,12 @@
 """Autocorrelation estimator tests (reference ``tests/unit/test_autocorr.py``)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from emcee_tpu.autocorr import AutocorrError, function_1d, integrated_time
+from emcee_tpu.ops import autocorr
 
 
 def get_chain(seed=1234, ndim=3, N=100000):
@@ -237,3 +240,73 @@ def test_geyer_antithetic_floor():
     tau = integrated_time(x, method="geyer", quiet=True)
     assert np.all(tau > 0.0)
     assert np.all(tau < 1.0)  # antithetic: better than independent
+
+
+def _ar1_chain(n=4000, m=8, d=3, seed=0, rho=0.8):
+    rng = np.random.default_rng(seed)
+    x = np.zeros((n, m, d))
+    eps = rng.normal(size=(n, m, d))
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + eps[i]
+    return x
+
+
+def test_geyer_device_matches_host_semantics():
+    """The jitted Geyer tau matches the float64 host formula on the
+    same ACF within float32 tolerance."""
+    x = _ar1_chain()
+    tau_dev = np.asarray(
+        autocorr.integrated_time(jnp.asarray(x), method="geyer", quiet=True)
+    )
+    # host reference computation of the same estimator
+    f = np.asarray(autocorr._walker_mean_acf(jnp.asarray(x)), np.float64)
+    npairs = f.shape[0] // 2
+    g = f[0 : 2 * npairs : 2] + f[1 : 2 * npairs : 2]
+    pos = g > 0.0
+    k_stop = np.where(np.any(~pos, axis=0), np.argmin(pos, axis=0), npairs)
+    g_mono = np.minimum.accumulate(g, axis=0)
+    keep = np.arange(npairs)[:, None] < k_stop[None, :]
+    tau_host = -1.0 + 2.0 * np.sum(np.where(keep, g_mono, 0.0), axis=0)
+    tau_host = np.maximum(tau_host, 1.0 / np.log10(f.shape[0]))
+    np.testing.assert_allclose(tau_dev, tau_host, rtol=5e-3)
+
+
+def test_rhat_device_matches_host():
+    x = _ar1_chain(n=2000, m=8, d=2, seed=3)
+    r_host = autocorr.rhat(x)
+    r_dev = autocorr.rhat(jnp.asarray(x))
+    assert isinstance(r_dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(r_dev), r_host, rtol=2e-4)
+    # plain (non-rank) path too
+    np.testing.assert_allclose(
+        np.asarray(autocorr.rhat(jnp.asarray(x), rank_normalized=False)),
+        autocorr.rhat(x, rank_normalized=False),
+        rtol=2e-4,
+    )
+
+
+def test_rhat_device_average_ties_degenerate():
+    """A fully collapsed ensemble must surface as NaN on the device
+    path too (average ties -> zero variance), not a fabricated healthy
+    value."""
+    x = np.ones((64, 8, 1))
+    r = np.asarray(autocorr.rhat(jnp.asarray(x)))
+    assert np.all(~np.isfinite(r))
+
+
+def test_monitor_uses_device_paths_for_device_chain(monkeypatch):
+    """Monitor + device-resident chain: the host-side rhat/rank
+    implementations are never touched — with a DeviceBackend on TPU
+    this is what 'no chain-sized transfer' means."""
+    from emcee_tpu.monitor import ConvergenceMonitor
+    from emcee_tpu.ops import autocorr as ac
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("host-side diagnostic path used")
+
+    monkeypatch.setattr(ac, "_rank_normalize", boom)
+    monkeypatch.setattr(ac, "_psrf", boom)
+    chain = jnp.asarray(_ar1_chain(n=400, m=8, d=2, seed=5))
+    mon = ConvergenceMonitor(rhat_threshold=1.2)
+    mon.update(chain)
+    assert mon.rhat is not None and np.all(np.isfinite(mon.rhat))
