@@ -18,6 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Two real OS processes per test: correct but slow; runs in the full tier.
+pytestmark = pytest.mark.slow
+
 from jax.sharding import Mesh
 
 from emcee_tpu import EnsembleSampler, State, backends
