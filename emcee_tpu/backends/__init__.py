@@ -3,7 +3,7 @@
 from . import pt
 from .backend import Backend
 from .device import DeviceBackend
-from .hdf import HDFBackend, TempHDFBackend
+from .hdf import HDFBackend, TempHDFBackend, merge_shards
 from .pt import PTBackend, PTDeviceBackend, PTHDFBackend
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "DeviceBackend",
     "HDFBackend",
     "TempHDFBackend",
+    "merge_shards",
     "PTBackend",
     "PTDeviceBackend",
     "PTHDFBackend",

@@ -74,6 +74,138 @@ def does_hdf5_support_longdouble():
         os.remove(path)
 
 
+def shard_filename(base, rank, count):
+    """Per-process shard path for ``HDFBackend(shard_per_process=True)``."""
+    return f"{base}.shard{int(rank):05d}-of-{int(count):05d}"
+
+
+def merge_shards(filename, out=None, name="mcmc"):
+    """Merge per-process shard files into one global reference-schema file.
+
+    Args:
+        filename: the base filename the sharded run was constructed
+            with (shards live at ``<filename>.shardNNNNN-of-MMMMM``).
+        out: output path (default: ``filename`` itself — the file a
+            single-process run would have produced).
+        name: run group name.
+
+    Returns:
+        An :class:`HDFBackend` opened read-only on the merged file.
+
+    The merged file is bit-identical to what the same run would have
+    written through the default gather-to-process-0 path: walker shards
+    are placed back at their recorded offsets, per-walker ``accepted``
+    counts concatenate, and the (process-replicated) PRNG key attr is
+    taken from shard 0.
+    """
+    import glob as _glob
+
+    if h5py is None:
+        raise ImportError("you must install 'h5py' to merge shards")
+    paths = sorted(_glob.glob(f"{filename}.shard*-of-*"))
+    if not paths:
+        raise FileNotFoundError(
+            f"no shard files match {filename}.shard*-of-*"
+        )
+    out = out or filename
+
+    shards = []
+    for p in paths:
+        with h5py.File(p, "r") as f:
+            g = f[name]
+            shards.append(
+                dict(
+                    path=p,
+                    offset=int(g.attrs["walker_offset"]),
+                    local=int(g.attrs["nwalkers"]),
+                    global_nw=int(g.attrs["global_nwalkers"]),
+                    ndim=int(g.attrs["ndim"]),
+                    iteration=int(g.attrs["iteration"]),
+                    has_blobs=bool(g.attrs["has_blobs"]),
+                    attrs=dict(g.attrs),
+                    chain=np.asarray(g["chain"][: g.attrs["iteration"]]),
+                    log_prob=np.asarray(
+                        g["log_prob"][: g.attrs["iteration"]]
+                    ),
+                    accepted=np.asarray(g["accepted"]),
+                    blobs=np.asarray(g["blobs"][: g.attrs["iteration"]])
+                    if g.attrs["has_blobs"]
+                    else None,
+                )
+            )
+    g_nw = shards[0]["global_nw"]
+    it = shards[0]["iteration"]
+    nd = shards[0]["ndim"]
+    covered = sorted(
+        (s["offset"], s["offset"] + s["local"]) for s in shards
+    )
+    expect = 0
+    for lo, hi in covered:
+        if lo != expect:
+            raise ValueError(
+                f"shard coverage gap/overlap at walker {expect} "
+                f"(next shard starts at {lo})"
+            )
+        expect = hi
+    if expect != g_nw:
+        raise ValueError(
+            f"shards cover {expect} walkers, global_nwalkers={g_nw}"
+        )
+    for s in shards[1:]:
+        if s["iteration"] != it:
+            raise ValueError(
+                f"{s['path']} holds {s['iteration']} iterations, "
+                f"{shards[0]['path']} holds {it}"
+            )
+
+    chain = np.empty((it, g_nw, nd), dtype=shards[0]["chain"].dtype)
+    log_prob = np.empty((it, g_nw), dtype=shards[0]["log_prob"].dtype)
+    accepted = np.empty(g_nw, dtype=shards[0]["accepted"].dtype)
+    blobs = None
+    if shards[0]["has_blobs"]:
+        blobs = np.empty(
+            (it, g_nw) + shards[0]["blobs"].shape[2:],
+            dtype=shards[0]["blobs"].dtype,
+        )
+    for s in shards:
+        sl = slice(s["offset"], s["offset"] + s["local"])
+        chain[:, sl] = s["chain"]
+        log_prob[:, sl] = s["log_prob"]
+        accepted[sl] = s["accepted"]
+        if blobs is not None:
+            blobs[:, sl] = s["blobs"]
+
+    with h5py.File(out, "a") as f:
+        if name in f:
+            del f[name]
+        g = f.create_group(name)
+        a0 = shards[0]["attrs"]
+        g.attrs["version"] = a0.get("version", "tpu-0")
+        g.attrs["nwalkers"] = g_nw
+        g.attrs["ndim"] = nd
+        g.attrs["has_blobs"] = blobs is not None
+        g.attrs["iteration"] = it
+        for key in ("blobs_kind", "blobs_fields", "jax_random_state"):
+            if key in a0:
+                g.attrs[key] = a0[key]
+        g.create_dataset("accepted", data=accepted)
+        g.create_dataset(
+            "chain",
+            data=chain,
+            maxshape=(None, g_nw, nd),
+        )
+        g.create_dataset(
+            "log_prob", data=log_prob, maxshape=(None, g_nw)
+        )
+        if blobs is not None:
+            g.create_dataset(
+                "blobs",
+                data=blobs,
+                maxshape=(None,) + blobs.shape[1:],
+            )
+    return HDFBackend(out, name, read_only=True)
+
+
 def _flatten_blobs(blobs):
     """Flatten a blob pytree -> (leaves, kind, names).
 
@@ -183,6 +315,7 @@ class HDFBackend(Backend):
         dtype=None,
         compression=None,
         compression_opts=None,
+        shard_per_process=False,
     ):
         if h5py is None:
             raise ImportError("you must install 'h5py' to use the HDFBackend")
@@ -193,6 +326,17 @@ class HDFBackend(Backend):
         self.compression_opts = compression_opts
         self.dtype_set = dtype is not None
         self.dtype = np.float64 if dtype is None else dtype
+        # Pod-scale storage mode: every process writes only its OWN
+        # walker shard to a per-process file, skipping the per-chunk
+        # process_allgather (O(global chain) DCN traffic per chunk on
+        # the default path — SURVEY §2.1 row 14).  Combine with
+        # :func:`merge_shards` for the global reference-schema file.
+        # Single-process runs ignore the flag (one file, full chain).
+        self.shard_per_process = bool(shard_per_process)
+        self.base_filename = filename
+        if self.shard_per_process and jax.process_count() > 1:
+            rank, n = jax.process_index(), jax.process_count()
+            self.filename = shard_filename(filename, rank, n)
 
     @property
     def initialized(self):
@@ -288,7 +432,53 @@ class HDFBackend(Backend):
 
     @property
     def shape(self):
-        return (self.nwalkers, self.ndim)
+        # Shard files report the GLOBAL ensemble shape so the sampler's
+        # resume-compatibility check holds; datasets are local-walker.
+        with self.open() as f:
+            g = f[self.name]
+            nw = int(
+                g.attrs.get("global_nwalkers", g.attrs["nwalkers"])
+            )
+            return (nw, int(g.attrs["ndim"]))
+
+    def configure_shard(self, offset, local_nwalkers):
+        """Re-lay the run group for this process's walker shard.
+
+        Called by the sampler at the first sharded save: the group laid
+        out by ``reset`` (global nwalkers) is replaced by a local-walker
+        layout carrying ``walker_offset`` / ``global_nwalkers`` attrs
+        for :func:`merge_shards`.  A no-op when already configured.
+        """
+        offset, local_nwalkers = int(offset), int(local_nwalkers)
+        with self.open("a") as f:
+            g = f[self.name]
+            if "walker_offset" in g.attrs:
+                if (
+                    int(g.attrs["walker_offset"]) != offset
+                    or int(g.attrs["nwalkers"]) != local_nwalkers
+                ):
+                    raise ValueError(
+                        "shard layout changed: file holds walkers "
+                        f"[{g.attrs['walker_offset']}:"
+                        f"{g.attrs['walker_offset'] + g.attrs['nwalkers']}"
+                        f"], save targets [{offset}:"
+                        f"{offset + local_nwalkers}]"
+                    )
+                return
+            if int(g.attrs["iteration"]) > 0:
+                raise ValueError(
+                    "cannot shard a file that already holds a "
+                    "gathered chain"
+                )
+            global_nw = int(g.attrs["nwalkers"])
+            ndim = int(g.attrs["ndim"])
+        self.reset(local_nwalkers, ndim)
+        with self.open("a") as f:
+            g = f[self.name]
+            g.attrs["walker_offset"] = offset
+            g.attrs["global_nwalkers"] = global_nw
+            g.attrs["shard_rank"] = jax.process_index()
+            g.attrs["shard_count"] = jax.process_count()
 
     def _blob_field_names(self, leaves, kind, names):
         """Dataset field names: declared blobs_dtype first, then dict keys,

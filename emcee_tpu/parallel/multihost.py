@@ -29,6 +29,18 @@ def device_put_global(x, sharding):
         return None
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # Already a live global array (a resumed previous state): it
+        # cannot be fetched host-side, and re-placement is only needed
+        # if the sharding changed — which for a state produced by this
+        # same program it has not.
+        if x.sharding.is_equivalent_to(sharding, x.ndim):
+            return x
+        raise NotImplementedError(
+            "cannot re-shard a multi-process global array "
+            f"({x.sharding} -> {sharding}); resume with the sharding "
+            "it was produced under"
+        )
     if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
         x.dtype, jax.dtypes.prng_key
     ):

@@ -67,6 +67,45 @@ from .state import (
 __all__ = ["EnsembleSampler"]
 
 
+def _local_walker_block(out):
+    """This process's contiguous walker block of a chunk output.
+
+    Every leaf of ``out`` carries the walker axis at position 1
+    (``(k, nwalkers, ...)``); under the walker-sharded mesh each
+    process's addressable shards tile a contiguous global slice.
+    Returns ``(local_out, offset)`` with numpy leaves.
+    """
+    offsets = []
+
+    def block(arr):
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[1].start or 0
+        )
+        lo = shards[0].index[1].start or 0
+        expect = lo
+        datas = []
+        for s in shards:
+            start = s.index[1].start or 0
+            if start != expect:
+                raise NotImplementedError(
+                    "shard_per_process needs a contiguous local "
+                    f"walker block; got a shard at {start}, expected "
+                    f"{expect}"
+                )
+            d = np.asarray(s.data)
+            datas.append(d)
+            expect = start + d.shape[1]
+        offsets.append(lo)
+        return np.concatenate(datas, axis=1)
+
+    local = jax.tree_util.tree_map(block, out)
+    if len(set(offsets)) != 1:
+        raise AssertionError(
+            f"inconsistent walker offsets across leaves: {offsets}"
+        )
+    return local, offsets[0]
+
+
 from .driver import BlobStruct as _BlobStruct  # shared with PTSampler
 
 
@@ -376,7 +415,18 @@ class EnsembleSampler:
                     f"{(self.nwalkers, self.ndim)}, got {state_shape}"
                 )
             if self.backend.iteration > 0:
-                self._previous_state = self.backend.get_last_sample()
+                if getattr(
+                    self.backend, "shard_per_process", False
+                ) and jax.process_count() > 1:
+                    # A shard file holds only this process's walkers;
+                    # there is no global resume state to adopt.  Resume
+                    # a sharded run via merge_shards() + a normal
+                    # backend, or pass an explicit initial state.
+                    self._previous_state = None
+                else:
+                    self._previous_state = (
+                        self.backend.get_last_sample()
+                    )
         else:
             self.backend.reset(self.nwalkers, self.ndim)
 
@@ -1004,7 +1054,18 @@ class EnsembleSampler:
         else:
             if np.shape(state.log_prob) != (self.nwalkers,):
                 raise ValueError("incompatible input dimensions")
-            if np.any(np.isnan(np.asarray(state.log_prob))):
+            lp = state.log_prob
+            if isinstance(lp, jax.Array) and not lp.is_fully_addressable:
+                # Resumed multi-process state: validate this process's
+                # shards (every process runs the same check on its own
+                # slice — no cross-host gather for a sanity check).
+                lp = np.concatenate(
+                    [
+                        np.asarray(s.data).ravel()
+                        for s in lp.addressable_shards
+                    ]
+                )
+            if np.any(np.isnan(np.asarray(lp))):
                 raise ValueError("The initial log_prob was NaN")
             if state.blobs is None:
                 # Blob structure must exist up front under jit; probe it.
@@ -1362,7 +1423,27 @@ class EnsembleSampler:
             )
             return
         if jax.process_count() > 1:
-            # Multi-host: chunk outputs are sharded across hosts; gather
+            if getattr(self.backend, "shard_per_process", False):
+                # Pod-scale path: every process persists only the
+                # walker shard its own devices hold — no per-chunk
+                # process_allgather (O(global chain) DCN traffic).
+                # merge_shards() rebuilds the global file offline.
+                if self._param_axis is not None:
+                    raise NotImplementedError(
+                        "shard_per_process storage with param_axis "
+                        "sharding is not supported"
+                    )
+                (coords, log_prob, blobs, accepted), offset = (
+                    _local_walker_block(out)
+                )
+                self.backend.configure_shard(
+                    offset, coords.shape[1]
+                )
+                self.backend.save_chunk(
+                    coords, log_prob, blobs, accepted, key
+                )
+                return
+            # Default: chunk outputs are sharded across hosts; gather
             # to every process, then only process 0 owns the backend
             # write (SURVEY §2: "only process 0 writes global arrays").
             from jax.experimental import multihost_utils

@@ -240,6 +240,15 @@ def walkers_independent(coords) -> bool:
     moves cannot explore.  Runs on host with float64 for the same dynamic
     range as the reference implementation.
     """
+    if (
+        isinstance(coords, jax.Array)
+        and not coords.is_fully_addressable
+    ):
+        # Resumed multi-process state: the global ensemble spans other
+        # hosts' devices; gather it (the check needs the full matrix).
+        from jax.experimental import multihost_utils
+
+        coords = multihost_utils.process_allgather(coords, tiled=True)
     C = np.asarray(jax.device_get(coords))
     # Keep extended precision when the caller supplies it (the reference
     # resolves np.longdouble offsets beyond float64's 2^53; integration

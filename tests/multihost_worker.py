@@ -127,3 +127,38 @@ if pid == 0:
     got_pt = np.asarray(pt_dev.get_chain(), dtype=ref_pt.dtype)
     assert np.array_equal(got_pt, ref_pt), "PT device-backend multihost mismatch"
     print("PT DEVBACKEND OK", flush=True)
+
+# Per-process shard storage: EVERY process writes its own walker shard
+# file (no process_allgather); the test merges the shards and compares
+# against the gathered multihost.h5 bit-for-bit.
+def log_prob_blobs(x):
+    lp = -0.5 * jnp.sum(x**2)
+    return lp, 2.0 * lp
+
+
+shard_be = backends.HDFBackend(
+    os.path.join(outdir, "sharded.h5"), shard_per_process=True
+)
+s3 = EnsembleSampler(
+    nwalkers, ndim, log_prob_blobs, backend=shard_be, mesh=mesh, seed=7
+)
+s3.run_mcmc(State(jnp.asarray(p0), random_state=jax.random.key(1)), nsteps)
+assert shard_be.iteration == nsteps
+# in-process continuation works (anchors live in memory)
+s3.run_mcmc(None, 5)
+assert shard_be.iteration == nsteps + 5
+print(f"SHARD{pid} DONE", flush=True)
+
+# Reference run through the default gathered path with the same model,
+# for the bit-identity comparison (blob-ful, unlike multihost.h5).
+if pid == 0:
+    gathered_be = backends.HDFBackend(os.path.join(outdir, "gathered.h5"))
+else:
+    gathered_be = backends.Backend()
+s4 = EnsembleSampler(
+    nwalkers, ndim, log_prob_blobs, backend=gathered_be, mesh=mesh, seed=7
+)
+s4.run_mcmc(State(jnp.asarray(p0), random_state=jax.random.key(1)), nsteps)
+s4.run_mcmc(None, 5)
+if pid == 0:
+    print("GATHERED DONE", flush=True)

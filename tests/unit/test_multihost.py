@@ -118,3 +118,54 @@ def test_multihost_pt_matches_single_process(multihost_outputs):
     np.testing.assert_array_equal(
         stored.swaps_accepted, pt.swaps_accepted
     )
+
+
+def test_shard_per_process_merge_matches_gathered(multihost_outputs):
+    """Per-host shard files merge into a file bit-identical to the one
+    the default gather-to-process-0 path writes (SURVEY §2.1 row 14's
+    pod-scale storage plan)."""
+    import glob
+
+    from emcee_tpu.backends import HDFBackend, merge_shards
+
+    base = os.path.join(multihost_outputs, "sharded.h5")
+    shards = sorted(glob.glob(base + ".shard*-of-*"))
+    assert len(shards) == 2, shards
+    # each shard holds its local walkers only
+    import h5py
+
+    with h5py.File(shards[0], "r") as f:
+        g = f["mcmc"]
+        assert int(g.attrs["nwalkers"]) == 32
+        assert int(g.attrs["global_nwalkers"]) == 64
+        assert g["chain"].shape == (30, 32, 3)
+
+    merged = merge_shards(base)
+    gathered = HDFBackend(
+        os.path.join(multihost_outputs, "gathered.h5"), read_only=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged.get_chain()), np.asarray(gathered.get_chain())
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged.get_log_prob()),
+        np.asarray(gathered.get_log_prob()),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged.get_blobs()), np.asarray(gathered.get_blobs())
+    )
+    np.testing.assert_array_equal(merged.accepted, gathered.accepted)
+    np.testing.assert_array_equal(
+        merged.random_state, gathered.random_state
+    )
+    # The merged file resumes like any single-process file.
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    def log_prob_blobs(x):
+        lp = -0.5 * _jnp.sum(x**2)
+        return lp, 2.0 * lp
+
+    s = EnsembleSampler(64, 3, log_prob_blobs, backend=HDFBackend(base))
+    s.run_mcmc(None, 3)
+    assert s.backend.iteration == 33
