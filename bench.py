@@ -404,6 +404,22 @@ def main():
     )
     _phase("dime bimodal stage done")
 
+    # The five BASELINE.json workload configs, one keyed entry each
+    # (walker-steps/s + ESS/s + tau honesty flag); see
+    # benchmarks/workloads5.py.  BENCH_SKIP_WORKLOADS=1 opts out for
+    # quick headline-only runs.
+    workloads = None
+    if os.environ.get("BENCH_SKIP_WORKLOADS") != "1":
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benchmarks"
+            ),
+        )
+        from workloads5 import run_all as _run_workloads
+
+        workloads = _run_workloads(phase=_phase)
+
     print(
         json.dumps(
             {
@@ -443,6 +459,11 @@ def main():
                 ),
                 "host_streamed_walker_steps_per_sec": round(
                     nwalkers * proposals_per_sec, 1
+                ),
+                **(
+                    {"workloads": workloads}
+                    if workloads is not None
+                    else {}
                 ),
             }
         )
