@@ -1241,6 +1241,18 @@ class EnsembleSampler:
                         self._save_chunk(out, state.random_state)
                     self._move_carries = carries
                     self._previous_state = state
+                if (
+                    not store
+                    and state.blobs is not None
+                    and self._object_blob_mode()
+                ):
+                    # Nothing stores the handles on this path; keep the
+                    # host blob table bounded to the live ensemble
+                    # (matters for iterations=None infinite streaming).
+                    ids = np.asarray(jax.device_get(state.blobs))
+                    self._blob_store().prune(
+                        keep_ids=ids, below=self._blob_store()._next
+                    )
                 pbar.update(thin_by)
                 i += 1
                 yield self._public_state(state)

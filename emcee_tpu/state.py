@@ -121,7 +121,7 @@ def _state_new(
             cls,
             (
                 dc(coords.coords),
-                dc(coords.log_prob),
+                dc(getattr(coords, "log_prob", None)),
                 dc(getattr(coords, "blobs", None)),
                 dc(getattr(coords, "random_state", None)),
             ),

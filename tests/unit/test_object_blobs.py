@@ -229,3 +229,12 @@ def test_variable_blob_shape_raises_mid_run():
     model.i += 1
     with pytest.raises(ValueError):
         sampler.run_mcmc(coords, 1)
+
+
+def test_generator_store_false_prunes():
+    np.random.seed(10)
+    coords = np.random.randn(16, 2)
+    s = EnsembleSampler(16, 2, _untraceable_with_blob)
+    for st in s.sample(coords, iterations=12, store=False):
+        pass
+    assert len(s._blob_store()) <= 2 * 16
