@@ -99,3 +99,10 @@ def test_example_blackbox_pool():
     mod = _load("10_blackbox_pool.py")
     mod.nsteps = 20
     mod.main()
+
+
+def test_example_dropin_emcee_code():
+    mod = _load("11_dropin_emcee_code.py")
+    mod.nsteps = 60
+    s = mod.main()
+    assert s.get_blobs().shape[0] == 70  # 60 + 10 resumed
