@@ -161,6 +161,7 @@ class PTSampler:
         mesh: Optional[Mesh] = None,
         walker_axis: str = "walkers",
         temp_axis: Optional[str] = None,
+        param_axis: Optional[str] = None,
         io_chunk_bytes: int = 1 << 27,
         scan_unroll: int = 4,
         io_dtype=None,
@@ -193,12 +194,25 @@ class PTSampler:
         self.mesh = mesh
         self.walker_axis = walker_axis
         self.temp_axis = temp_axis
+        self.param_axis = param_axis
         self._axis_name = walker_axis if mesh is not None else None
         self._temp_axis = (
             temp_axis if (mesh is not None and temp_axis) else None
         )
+        self._param_axis = (
+            param_axis if (mesh is not None and param_axis) else None
+        )
         if temp_axis is not None and mesh is None:
             raise ValueError("temp_axis requires a mesh")
+        if param_axis is not None and mesh is None:
+            raise ValueError("param_axis requires a mesh")
+        if self._param_axis is not None:
+            p_shards = mesh.shape[self._param_axis]
+            if self.ndim % p_shards:
+                raise ValueError(
+                    f"ndim ({self.ndim}) must divide by the mesh "
+                    f"'{self._param_axis}' axis size ({p_shards})"
+                )
         if mesh is not None and self.nwalkers % mesh.shape[walker_axis]:
             raise ValueError(
                 f"nwalkers ({self.nwalkers}) must divide by the mesh "
@@ -372,18 +386,46 @@ class PTSampler:
         an opaque pytree, so accepted proposals carry all three along.
         """
 
+        paxis = self._param_axis
+
         def compute(q):
             ll, ublobs = self._log_like(q)
             lpr, _ = self._log_prior(q)
+            if paxis is not None:
+                if ublobs is not None:
+                    raise NotImplementedError(
+                        "blobs are not supported with parameter-axis "
+                        "sharding"
+                    )
+                # Long-ndim mode: the user functions return shard-local
+                # PARTIAL sums over their parameter block; psum
+                # completes them BEFORE the tempering/masking algebra
+                # (a bound violation in any block must mask globally).
+                ll = jax.lax.psum(ll, paxis)
+                lpr = jax.lax.psum(lpr, paxis)
             finite = lpr > -jnp.inf
             ll = jnp.where(finite, ll, 0.0)
             lp = jnp.where(finite, beta * ll + lpr, -jnp.inf)
             return lp, (ll, lpr, ublobs)
 
+        partial = None
+        if paxis is not None:
+
+            def partial(q):  # noqa: F811 - the param-sharded branch
+                # Gradient moves differentiate the LOCAL tempered
+                # partial (d(global)/d(local block) — differentiating
+                # through the psum would overcount; see model.py).
+                ll, _ = self._log_like(q)
+                lpr, _ = self._log_prior(q)
+                return beta * ll + lpr, None
+
         return Model(
             compute_log_prob=compute,
             axis_name=self._axis_name,
             nwalkers=self.nwalkers,
+            param_axis=paxis,
+            ndim=self.ndim,
+            compute_log_prob_partial=partial,
             # pure_callback has no JVP — gradient moves must see the
             # marker and raise their clear error (see model.py).
             grad_ok=not (
@@ -823,8 +865,9 @@ class PTSampler:
         if self.mesh is not None:
             ax = self.walker_axis
             tx = self._temp_axis  # None -> replicated temperature axis
+            px = self._param_axis  # None -> replicated parameter axis
             state_spec = PTState(
-                coords=P(tx, ax, None),
+                coords=P(tx, ax, px),
                 log_like=P(tx, ax),
                 log_prior=P(tx, ax),
                 random_state=P(),
@@ -836,7 +879,7 @@ class PTSampler:
             swap_spec = P(tx, ax)
             if store:
                 out_spec = (
-                    P(None, tx, ax, None),
+                    P(None, tx, ax, px),
                     P(None, tx, ax),
                     P(None, tx, ax),
                     self._blob_partition_tree(
@@ -992,7 +1035,9 @@ class PTSampler:
                     state.blobs,
                 )
             sh = PTState(
-                coords=NamedSharding(self.mesh, P(tx, ax, None)),
+                coords=NamedSharding(
+                    self.mesh, P(tx, ax, self._param_axis)
+                ),
                 log_like=NamedSharding(self.mesh, P(tx, ax)),
                 log_prior=NamedSharding(self.mesh, P(tx, ax)),
                 random_state=NamedSharding(self.mesh, P()),
