@@ -20,9 +20,10 @@ pid, nproc, port, outdir = (
     sys.argv[4],
 )
 
+_DEV_PER_PROC = int(os.environ.get("MH_DEVICES_PER_PROC", "4"))
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4"
+    + f" --xla_force_host_platform_device_count={_DEV_PER_PROC}"
 )
 
 import jax
@@ -45,7 +46,7 @@ from emcee_tpu import EnsembleSampler, State, backends
 from emcee_tpu.backends.pt import PTBackend, PTHDFBackend
 from emcee_tpu.parallel.tempering import PTSampler
 
-assert jax.device_count() == 4 * nproc, jax.devices()
+assert jax.device_count() == _DEV_PER_PROC * nproc, jax.devices()
 mesh = Mesh(np.asarray(jax.devices()), ("walkers",))
 
 

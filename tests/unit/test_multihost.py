@@ -169,3 +169,72 @@ def test_shard_per_process_merge_matches_gathered(multihost_outputs):
     s = EnsembleSampler(64, 3, log_prob_blobs, backend=HDFBackend(base))
     s.run_mcmc(None, 3)
     assert s.backend.iteration == 33
+
+
+@pytest.fixture(scope="module")
+def multihost_outputs_4proc(tmp_path_factory):
+    """Same global 8-device mesh, carved as 4 processes x 2 devices —
+    the chains must be bit-identical to the 2x4 topology AND to a
+    single-process run (mesh shape, not process layout, fixes the SPMD
+    program and RNG streams)."""
+    outdir = str(tmp_path_factory.mktemp("multihost4"))
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["MH_DEVICES_PER_PROC"] = "2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "4", str(port), outdir],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(4)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    return outdir
+
+
+def test_multihost_4proc_matches_2proc(
+    multihost_outputs, multihost_outputs_4proc
+):
+    a = backends.HDFBackend(
+        os.path.join(multihost_outputs, "multihost.h5"), read_only=True
+    )
+    b = backends.HDFBackend(
+        os.path.join(multihost_outputs_4proc, "multihost.h5"),
+        read_only=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.get_chain()), np.asarray(b.get_chain())
+    )
+    np.testing.assert_array_equal(a.accepted, b.accepted)
+    # 4-way shard files merge to the same global file too
+    from emcee_tpu.backends import merge_shards
+
+    import glob
+
+    base4 = os.path.join(multihost_outputs_4proc, "sharded.h5")
+    assert len(glob.glob(base4 + ".shard*-of-*")) == 4
+    merged4 = merge_shards(base4)
+    merged2 = merge_shards(
+        os.path.join(multihost_outputs, "sharded.h5"),
+        out=os.path.join(multihost_outputs, "sharded_merged2.h5"),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged4.get_chain()), np.asarray(merged2.get_chain())
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged4.get_blobs()), np.asarray(merged2.get_blobs())
+    )

@@ -238,3 +238,52 @@ def test_generator_store_false_prunes():
     for st in s.sample(coords, iterations=12, store=False):
         pass
     assert len(s._blob_store()) <= 2 * 16
+
+
+def test_object_blobs_interrupt_resume_consistent():
+    """Interrupt mid-run in object-blob mode: completed chunks reach
+    the backend with their RESOLVED blob values; resume recomputes the
+    in-flight chunk (fresh handles) and the full chain + blobs match an
+    uninterrupted run."""
+
+    def lp(p):
+        v = float(np.sum(-0.5 * p**2))  # untraceable
+        return v, "s" if v > -3.0 else "t", round(v, 3)
+
+    np.random.seed(11)
+    coords = np.random.randn(16, 2)
+
+    def build():
+        return EnsembleSampler(
+            16, 2, lp, seed=7, max_chunk_steps=5
+        )
+
+    # Straight run.
+    ref = build()
+    ref.run_mcmc(coords, 20)
+    ref_chain = ref.get_chain()
+    ref_blobs = ref.get_blobs()
+
+    # Interrupted at the third chunk, then resumed.
+    s = build()
+    orig = s._get_run_chunk
+    calls = {"n": 0}
+
+    def interrupting(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+        return orig(*a, **k)
+
+    s._get_run_chunk = interrupting
+    with pytest.raises(KeyboardInterrupt):
+        s.run_mcmc(coords, 20)
+    saved = s.backend.iteration
+    assert 0 < saved < 20
+    s._get_run_chunk = orig
+    s.run_mcmc(None, 20 - saved)
+
+    np.testing.assert_array_equal(s.get_chain(), ref_chain)
+    got = s.get_blobs()
+    assert got.shape == ref_blobs.shape == (20, 16, 2)
+    assert (got == ref_blobs).all()
