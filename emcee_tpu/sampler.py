@@ -943,7 +943,15 @@ class EnsembleSampler:
     # ------------------------------------------------------------------
     # Sampling
     # ------------------------------------------------------------------
-    def _prepare_state(self, initial_state, skip_initial_state_check):
+    def _prepare_state(
+        self, initial_state, skip_initial_state_check, trusted=False
+    ):
+        """``trusted=True``: the state is this sampler's own resume
+        anchor (produced by the validated run loop, or restored from a
+        backend this sampler's save path wrote) — skip the
+        host-roundtrip sanity checks (walkers_independent and the NaN
+        fetch of log_prob cost a tunnel roundtrip per run_mcmc call,
+        ~14% of a 16384-step dispatch at the headline shape)."""
         state = as_state(initial_state)
         if (
             isinstance(state.coords, np.ndarray)
@@ -979,8 +987,10 @@ class EnsembleSampler:
                 log_prob=None,
                 blobs=None,
             )
-        if not skip_initial_state_check and not walkers_independent(
-            state.coords
+        if (
+            not trusted
+            and not skip_initial_state_check
+            and not walkers_independent(state.coords)
         ):
             raise ValueError(
                 "Initial state has a large condition number. "
@@ -1054,7 +1064,7 @@ class EnsembleSampler:
         else:
             if np.shape(state.log_prob) != (self.nwalkers,):
                 raise ValueError("incompatible input dimensions")
-            lp = state.log_prob
+            lp = None if trusted else state.log_prob
             if isinstance(lp, jax.Array) and not lp.is_fully_addressable:
                 # Resumed multi-process state: validate this process's
                 # shards (every process runs the same check on its own
@@ -1065,7 +1075,7 @@ class EnsembleSampler:
                         for s in lp.addressable_shards
                     ]
                 )
-            if np.any(np.isnan(np.asarray(lp))):
+            if lp is not None and np.any(np.isnan(np.asarray(lp))):
                 raise ValueError("The initial log_prob was NaN")
             if state.blobs is None:
                 # Blob structure must exist up front under jit; probe it.
@@ -1160,7 +1170,15 @@ class EnsembleSampler:
         if state.blobs is not None:
             for leaf in jax.tree_util.tree_leaves(state.blobs):
                 bytes_per_step += leaf.size * self._io_itemsize(leaf.dtype)
-        n = max(1, self._io_chunk_bytes // max(1, bytes_per_step))
+        if store:
+            n = max(1, self._io_chunk_bytes // max(1, bytes_per_step))
+        else:
+            # store=False emits no chunk outputs at all — there is no
+            # transfer or HBM buffer for io_chunk_bytes to bound, and
+            # capping by it silently fragmented large-ensemble runs
+            # into ~32-step dispatches (the 1e5-walker headline paid
+            # ~85 ms/window in dispatch floors before this).
+            n = 1 << 62
         # Cap the scan length (chunk-length sweep in docs/performance.md):
         # on the host-transfer path 4096 steps/chunk keeps host-overlap
         # granularity and progress updates usable while the throughput
@@ -1265,6 +1283,7 @@ class EnsembleSampler:
         not iterate a Python generator step-by-step: the chain advances in
         jitted multi-step chunks with chain storage overlapped.
         """
+        trusted = False
         if initial_state is None:
             if self._previous_state is None:
                 raise ValueError(
@@ -1272,6 +1291,7 @@ class EnsembleSampler:
                     "been called."
                 )
             initial_state = self._previous_state
+            trusted = True
 
         tune = kwargs.pop("tune", False)
         thin_by = int(kwargs.pop("thin_by", 1))
@@ -1289,7 +1309,9 @@ class EnsembleSampler:
             raise ValueError("Invalid thinning argument")
         nsteps = int(nsteps)
 
-        state = self._prepare_state(initial_state, skip_check)
+        state = self._prepare_state(
+            initial_state, skip_check, trusted=trusted
+        )
         if nsteps == 0:
             # Reference semantics (``ensemble.py:449-456``): zero
             # iterations produce no results — the resume anchor is
