@@ -917,7 +917,13 @@ class PTSampler:
         return counts.at[lo].add(acc.astype(jnp.int32))
 
     # ------------------------------------------------------------------
-    def _prepare_state(self, initial_state, skip_check=False):
+    def _prepare_state(
+        self, initial_state, skip_check=False, trusted=False
+    ):
+        # trusted=True: the sampler's own resume anchor — produced by
+        # the validated run loop — skips the per-rung
+        # walkers_independent fetches (T host roundtrips per
+        # run_mcmc(None) call; see EnsembleSampler._prepare_state).
         if isinstance(initial_state, PTState):
             state = initial_state
         else:
@@ -946,7 +952,7 @@ class PTSampler:
                 log_prior=None,
                 blobs=None,
             )
-        if not skip_check:
+        if not skip_check and not trusted:
             for t in range(self.ntemps):
                 if not walkers_independent(state.coords[t]):
                     raise ValueError(
@@ -1162,13 +1168,17 @@ class PTSampler:
         reallocate the chain.
         """
         thin_by = int(thin_by)
+        trusted = False
         if initial_state is None:
             if self._previous_state is None:
                 raise ValueError(
                     "Cannot have `initial_state=None` on the first call"
                 )
             initial_state = self._previous_state
-        state = self._prepare_state(initial_state, skip_check)
+            trusted = True
+        state = self._prepare_state(
+            initial_state, skip_check, trusted=trusted
+        )
         if callable(sizes):  # deferred schedule (needs the blob shapes)
             sizes = sizes(state)
         blobs_struct = blobs_struct_of(state.blobs)
